@@ -1,0 +1,171 @@
+"""YAML input-deck parsing.
+
+Keeps the reference deck schema (Teuchos YAML ParameterList, one deck
+per run — reference: source/calibr8/src/main_primal.cpp:20-31,
+test/primal/*.yaml.in): a single root key wrapping the sublists
+
+  problem, discretization, residuals (global residual / local residual
+  with per-element-set materials), dirichlet bcs, traction bcs,
+  quantity of interest, regression, linear algebra, inverse,
+  virtual fields, adaptivity
+
+so reference decks parse unmodified.  Extensions: the `discretization`
+sublist accepts `builtin mesh: {type: cube|square|notch2D|notch3D, ...}`
+to use the built-in generators, or a Gmsh `.msh` `mesh file`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import yaml
+
+
+def load_deck(path_or_dict) -> "ProblemSpec":
+    if isinstance(path_or_dict, dict):
+        raw = path_or_dict
+    else:
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f)
+    # unwrap the single problem-name root key if present
+    known = {
+        "problem",
+        "discretization",
+        "residuals",
+        "dirichlet bcs",
+        "traction bcs",
+        "quantity of interest",
+        "regression",
+        "linear algebra",
+        "inverse",
+        "virtual fields",
+        "objective",
+        "adaptivity",
+    }
+    if len(raw) == 1 and not (set(raw) & known):
+        raw = next(iter(raw.values()))
+    return ProblemSpec(raw)
+
+
+@dataclass
+class ProblemSpec:
+    data: dict[str, Any]
+
+    def sub(self, name: str, default=None) -> dict:
+        v = self.data.get(name, default if default is not None else {})
+        return v or {}
+
+    # -- discretization -----------------------------------------------
+    @property
+    def disc(self) -> dict:
+        return self.sub("discretization")
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.disc.get("num steps", 1))
+
+    @property
+    def step_size(self) -> float:
+        return float(self.disc.get("step size", 1.0))
+
+    # -- residuals ----------------------------------------------------
+    @property
+    def global_residual(self) -> dict:
+        return self.sub("residuals").get("global residual", {})
+
+    @property
+    def local_residual(self) -> dict:
+        return self.sub("residuals").get("local residual", {})
+
+    @property
+    def model_name(self) -> str:
+        return self.local_residual["type"]
+
+    def materials(self, param_names) -> tuple[list[str], np.ndarray]:
+        """Per-elem-set parameter matrix in model order
+        (reference: e.g. small_J2.cpp init_params)."""
+        mats = self.local_residual.get("materials", {})
+        names = list(mats.keys())
+        vals = np.zeros((len(names), len(param_names)))
+        for i, es in enumerate(names):
+            m = mats[es] or {}
+            for j, pname in enumerate(param_names):
+                vals[i, j] = float(m.get(pname, 0.0))
+        return names, vals
+
+    # -- bcs ----------------------------------------------------------
+    @property
+    def dirichlet_expression(self) -> list:
+        """[(resid_idx, eq, node_set, expr), ...]"""
+        out = []
+        sub = self.sub("dirichlet bcs").get("expression", {})
+        for _, entry in sub.items():
+            out.append(
+                (int(entry[0]), int(entry[1]), str(entry[2]), str(entry[3]))
+            )
+        return out
+
+    @property
+    def dirichlet_field(self) -> list:
+        """Field-based (measured-data) DBCs: [(i, eq, node_set, field), ...]
+        (reference: dbcs.hpp:23-60)."""
+        out = []
+        sub = self.sub("dirichlet bcs").get("field", {})
+        for _, entry in sub.items():
+            out.append(
+                (int(entry[0]), int(entry[1]), str(entry[2]), str(entry[3]))
+            )
+        return out
+
+    @property
+    def tractions(self) -> list:
+        out = []
+        for _, entry in self.sub("traction bcs").items():
+            idx = int(entry[0])
+            side_set = str(entry[1])
+            vals = tuple(str(v) for v in entry[2:])
+            out.append((idx, side_set, vals))
+        return out
+
+    # -- qoi / regression ---------------------------------------------
+    @property
+    def qoi(self) -> dict:
+        return self.sub("quantity of interest")
+
+    @property
+    def regression(self) -> dict:
+        return self.sub("regression")
+
+    # -- linear algebra ------------------------------------------------
+    @property
+    def linear_algebra(self) -> dict:
+        """Understands both the native simplified block
+        {method, tolerance, maximum iterations} and the reference's
+        Stratimikos tree (Belos Block GMRES settings are extracted)."""
+        la = self.sub("linear algebra")
+        out = {"method": "auto", "tolerance": 1e-6, "maximum iterations": 200}
+        if not la:
+            return out
+        if "method" in la:
+            out["method"] = la["method"]
+        if "tolerance" in la:
+            out["tolerance"] = float(la["tolerance"])
+        if "maximum iterations" in la:
+            out["maximum iterations"] = int(la["maximum iterations"])
+        try:
+            gm = la["Linear Solver Types"]["Belos"]["Solver Types"]["Block GMRES"]
+            out["tolerance"] = float(gm.get("Convergence Tolerance", 1e-6))
+            out["maximum iterations"] = int(gm.get("Maximum Iterations", 200))
+        except (KeyError, TypeError):
+            pass
+        return out
+
+    @property
+    def inverse(self) -> dict:
+        return self.sub("inverse")
+
+    @property
+    def problem_name(self) -> str:
+        return self.sub("problem").get("name", "problem")

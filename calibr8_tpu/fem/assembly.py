@@ -1,0 +1,183 @@
+"""Batched element assembly: residuals, condensed Jacobians, scatter.
+
+The TPU re-design of the reference's assembly drivers
+(reference: source/calibr8/src/evaluations.cpp — eval_forward_jacobian
+:12-154, eval_global_residual :156-260): the element loop over
+(element set, element, integration point) with Sacado FADT seeding
+becomes ONE vmapped pure element kernel over all elements, and the
+ghost->owned Tpetra Export-ADD scatter (linear_alg.hpp:38-53) becomes a
+jax.ops.segment_sum over precomputed element-DOF indices.
+
+Static local condensation (the heart of eval_forward_jacobian):
+  dxi_dx = -(dC/dxi)^{-1} dC/dx            (evaluations.cpp:112)
+  J_e    = dR/dx + dR/dxi dxi_dx           (total element Jacobian)
+computed with jax.jacfwd on the pure element functions and batched
+jnp.linalg.solve over tiny (nxi x nxi) systems.
+
+The element Jacobians are kept unassembled (n_elem, nde, nde) for
+element-by-element (EBE) matvecs — batched einsum (MXU-friendly) +
+segment_sum — rather than forming a CRS matrix; a dense scatter is
+provided for small problems and tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from calibr8_tpu.mechanics.global_residual import MechanicsSpec, elem_kinematics, make_elem_residual
+from calibr8_tpu.models.newton import make_local_solver
+
+
+class Assembler:
+    """Bundles the vmapped kernels for one (model, mechanics spec) pair."""
+
+    def __init__(self, disc, model, spec: MechanicsSpec, local_cfg=None):
+        self.disc = disc
+        self.model = model
+        self.spec = spec
+        local_cfg = local_cfg or {}
+        self.elem_res = make_elem_residual(model, spec)
+        self._local_solve = make_local_solver(
+            model,
+            max_iters=local_cfg.get("max_iters", 100),
+            abs_tol=local_cfg.get("abs_tol", 1e-12),
+            rel_tol=local_cfg.get("rel_tol", 1e-12),
+        )
+        self.nxi = model.nxi()
+
+    # -- gathers -------------------------------------------------------
+    def gather(self, x):
+        """(n_dofs,) -> (n_elem, nde) element dof values."""
+        return x[self.disc.edofs]
+
+    def params_per_elem(self, params_all):
+        """(n_sets, n_params) -> (n_elem, n_params)."""
+        return params_all[self.disc.es_ids]
+
+    def kinematics(self, x, x_prev):
+        x_e = self.gather(x)
+        xp_e = self.gather(x_prev)
+        return jax.vmap(elem_kinematics, in_axes=(None, 0, 0, 0))(
+            self.spec, x_e, xp_e, self.disc.grad_N
+        )
+
+    # -- local constitutive solve --------------------------------------
+    def local_solve(self, x, x_prev, xi_prev, params_all):
+        """Solve C = 0 at every integration point.
+
+        Returns LocalSolveResult with fields batched over elements.
+        """
+        kin = self.kinematics(x, x_prev)
+        pars = self.params_per_elem(params_all)
+        return jax.vmap(self._local_solve)(xi_prev, kin, pars)
+
+    # -- residual ------------------------------------------------------
+    def residual_elems(self, x, x_prev, xi, params_all):
+        x_e = self.gather(x)
+        xp_e = self.gather(x_prev)
+        pars = self.params_per_elem(params_all)
+        geom = (self.disc.grad_N, self.disc.detJ, self.disc.h)
+
+        def one(x_e_, xp_e_, xi_, gN, dJ, h, par):
+            return self.elem_res(x_e_, xp_e_, xi_, (gN, dJ, h), par)
+
+        return jax.vmap(one)(
+            x_e, xp_e, xi, self.disc.grad_N, self.disc.detJ, self.disc.h, pars
+        )
+
+    def residual(self, x, x_prev, xi, params_all):
+        R_e = self.residual_elems(x, x_prev, xi, params_all)
+        return scatter_residual(R_e, self.disc.edofs, self.disc.n_dofs)
+
+    # -- condensed element Jacobian ------------------------------------
+    def residual_and_jacobian(self, x, x_prev, xi, xi_prev, path, params_all):
+        """Returns (R (n_dofs,), J_e (n_elem, nde, nde), diag (n_dofs,)).
+
+        J_e is the statically condensed total element Jacobian
+        dR/dx + dR/dxi * dxi/dx with the local branch forced to `path`.
+        """
+        x_e = self.gather(x)
+        xp_e = self.gather(x_prev)
+        pars = self.params_per_elem(params_all)
+        model, spec = self.model, self.spec
+
+        def one(x_e_, xp_e_, xi_, xip_, path_, gN, dJ, h, par):
+            geom = (gN, dJ, h)
+
+            def C(xi__, xe__):
+                kin = elem_kinematics(spec, xe__, xp_e_, gN)
+                return model.residual(xi__, xip_, kin, par, path_)
+
+            def R(xe__, xi__):
+                return self.elem_res(xe__, xp_e_, xi__, geom, par)
+
+            R0 = R(x_e_, xi_)
+            dR_dx = jax.jacfwd(R, argnums=0)(x_e_, xi_)
+            if model.needs_local_newton():
+                dC_dxi = jax.jacfwd(C, argnums=0)(xi_, x_e_)
+                dC_dx = jax.jacfwd(C, argnums=1)(xi_, x_e_)
+                dxi_dx = -jnp.linalg.solve(dC_dxi, dC_dx)
+                dR_dxi = jax.jacfwd(R, argnums=1)(x_e_, xi_)
+                J = dR_dx + dR_dxi @ dxi_dx
+            else:
+                J = dR_dx
+            return R0, J
+
+        R_e, J_e = jax.vmap(one)(
+            x_e,
+            xp_e,
+            xi,
+            xi_prev,
+            path,
+            self.disc.grad_N,
+            self.disc.detJ,
+            self.disc.h,
+            pars,
+        )
+        R = scatter_residual(R_e, self.disc.edofs, self.disc.n_dofs)
+        diag = scatter_residual(
+            jnp.diagonal(J_e, axis1=1, axis2=2), self.disc.edofs, self.disc.n_dofs
+        )
+        return R, J_e, diag
+
+
+# ----------------------------------------------------------------------
+# scatter / matvec primitives
+# ----------------------------------------------------------------------
+
+
+def scatter_residual(R_e, edofs, n_dofs):
+    """Element residuals -> global residual (the Export-ADD analog)."""
+    return jax.ops.segment_sum(
+        R_e.reshape(-1), edofs.reshape(-1), num_segments=n_dofs
+    )
+
+
+def ebe_matvec(J_e, edofs, v, n_dofs):
+    """Element-by-element J @ v: gather, batched matvec, scatter-add.
+
+    Batched (n_elem, nde, nde) x (n_elem, nde) einsum drives the MXU;
+    segment_sum is the single gather/scatter bottleneck.
+    """
+    v_e = v[edofs]
+    Jv_e = jnp.einsum("eij,ej->ei", J_e, v_e)
+    return jax.ops.segment_sum(
+        Jv_e.reshape(-1), edofs.reshape(-1), num_segments=n_dofs
+    )
+
+
+def dense_matrix(J_e, edofs, n_dofs):
+    """Scatter element Jacobians to a dense (n_dofs, n_dofs) matrix.
+
+    For small test problems and direct solves only.
+    """
+    rows = jnp.repeat(edofs[:, :, None], edofs.shape[1], axis=2)
+    cols = jnp.repeat(edofs[:, None, :], edofs.shape[1], axis=1)
+    flat = rows.reshape(-1) * n_dofs + cols.reshape(-1)
+    A = jax.ops.segment_sum(
+        J_e.reshape(-1), flat, num_segments=n_dofs * n_dofs
+    )
+    return A.reshape(n_dofs, n_dofs)

@@ -1,0 +1,106 @@
+"""Discretization container: static device arrays + DOF maps.
+
+The TPU re-design of class Disc (reference: source/calibr8/src/disc.hpp:72-483).
+Where the reference builds Tpetra owned/ghost maps, CRS graphs and
+precomputed scatter offsets for MPI-parallel assembly
+(disc.cpp:293-321, disc.hpp:478-482), here the mesh is lowered once to:
+
+  * conn / edofs   (n_elem, npe) / (n_elem, ndofs_e) gather indices
+  * grad_N, detJ, h  per-element geometry (fem/geometry.py)
+  * es_ids         (n_elem,) element-set index per element (for per-set
+                   material parameter rows)
+  * node/side sets  index arrays
+
+DOF layout (flat): u block first (node-major, eq-minor), then p block —
+the same 2-block structure the reference's block preconditioner exploits
+(linear_solve.cpp:36-123); our block preconditioners use the same split.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from calibr8_tpu.fem.geometry import compute_elem_geom
+from calibr8_tpu.mechanics.global_residual import MechanicsSpec
+from calibr8_tpu.mesh.mesh import Mesh
+
+
+class Disc:
+    def __init__(self, mesh: Mesh, spec: MechanicsSpec, dtype=jnp.float64):
+        mesh.validate()
+        sorted_mesh, ranges = mesh.sorted_by_elem_set()
+        self.mesh = sorted_mesh
+        self.spec = spec
+        self.dtype = dtype
+        self.elem_set_ranges = ranges
+        self.elem_set_names = list(ranges.keys())
+
+        d = spec.dim
+        assert mesh.dim == d
+        n_nodes = sorted_mesh.n_nodes
+        n_elem = sorted_mesh.n_elems
+        npe = spec.npe
+
+        self.n_nodes = n_nodes
+        self.n_elem = n_elem
+        self.n_dofs_u = n_nodes * d
+        self.n_dofs = self.n_dofs_u + (n_nodes if spec.mixed else 0)
+
+        geom = compute_elem_geom(sorted_mesh)
+        self.grad_N = jnp.asarray(geom.grad_N, dtype)
+        self.detJ = jnp.asarray(geom.detJ, dtype)
+        self.h = jnp.asarray(geom.h, dtype)
+        self.coords = jnp.asarray(sorted_mesh.coords, dtype)
+        self.conn = jnp.asarray(sorted_mesh.conn, jnp.int32)
+
+        # element dof map: [u dofs (npe*d), p dofs (npe)]
+        conn = sorted_mesh.conn
+        u_dofs = (conn[:, :, None] * d + np.arange(d)[None, None, :]).reshape(
+            n_elem, npe * d
+        )
+        if spec.mixed:
+            p_dofs = self.n_dofs_u + conn
+            edofs = np.concatenate([u_dofs, p_dofs], axis=1)
+        else:
+            edofs = u_dofs
+        self.edofs = jnp.asarray(edofs, jnp.int32)
+
+        # element-set index per element
+        es_ids = np.zeros(n_elem, dtype=np.int32)
+        for i, (name, (start, stop)) in enumerate(ranges.items()):
+            es_ids[start:stop] = i
+        self.es_ids = jnp.asarray(es_ids)
+
+    # -- dof helpers (host) -------------------------------------------
+    def u_dof(self, nodes: np.ndarray, eq: int) -> np.ndarray:
+        return np.asarray(nodes) * self.spec.dim + eq
+
+    def p_dof(self, nodes: np.ndarray) -> np.ndarray:
+        assert self.spec.mixed
+        return self.n_dofs_u + np.asarray(nodes)
+
+    def dof(self, resid_idx: int, nodes: np.ndarray, eq: int) -> np.ndarray:
+        if resid_idx == 0:
+            return self.u_dof(nodes, eq)
+        assert resid_idx == 1 and eq == 0
+        return self.p_dof(nodes)
+
+    # -- field <-> flat dof vector ------------------------------------
+    def split(self, x: jnp.ndarray):
+        """Flat dofs -> (u (n_nodes, d), p (n_nodes,) or None)."""
+        u = x[: self.n_dofs_u].reshape(self.n_nodes, self.spec.dim)
+        p = x[self.n_dofs_u :] if self.spec.mixed else None
+        return u, p
+
+    def join(self, u: jnp.ndarray, p=None) -> jnp.ndarray:
+        parts = [u.reshape(-1)]
+        if self.spec.mixed:
+            parts.append(p.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def zero_x(self) -> jnp.ndarray:
+        return jnp.zeros(self.n_dofs, self.dtype)
+
+    def geom_tuple(self):
+        return (self.grad_N, self.detJ, self.h)

@@ -1,0 +1,152 @@
+"""The 'mechanics' global residual: quasi-static balance of linear
+momentum, optionally mixed u/p with GLS-type pressure stabilization.
+
+Re-design of the reference Mechanics<T> global residual
+(reference: source/calibr8/src/mechanics.cpp):
+
+  * momentum (ip set 0, quadrature order 1):
+      R_u[n, i] += sigma(i, j) dN_n/dx_j w dv
+    with sigma -> PK1 = sigma cof(F) for finite-deformation models
+    (mechanics.cpp:129-144);
+  * mixed pressure equation, split over two integration point sets
+    exactly as the reference does (mechanics.cpp:41-47):
+      ip set 0 (order 1): R_p[n] -= (hydro_cauchy / psf) N_n w dv
+                          R_p[n] -= dN_n/dx_i tau_ij dp/dx_j w dv
+        with tau = c * h^2 / (2 mu) (GLS stabilization,
+        mechanics.cpp:187-213) and the finite-deformation pullback
+        tau (cof F)^T (cof F) / det F;
+      ip set 1 (order 2): R_p[n] -= (p / psf) N_n w dv.
+
+For P1 simplices all ip-set-0 quantities are single-point (centroid)
+evaluations with constant gradients — the whole element residual is a
+handful of tiny tensor contractions, vmapped over elements.
+
+Element DOF packing: x_e = [u (npe*d), p (npe)] (mixed) or [u] only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from calibr8_tpu.fem import basis
+from calibr8_tpu.models.base import Kinematics, cofactor, compute_mu
+
+PARENT_MEASURE = {2: 0.5, 3: 1.0 / 6.0}
+
+
+@dataclass(frozen=True)
+class MechanicsSpec:
+    """Static configuration of the mechanics residual."""
+
+    dim: int
+    mixed: bool = True
+    stab_multiplier: float = 1.0
+    # 'current' h recomputed from the active mesh, or 'base' h carried
+    # from the coarse mesh for nested-space error estimation
+    # (reference: global_residual.hpp:288, mechanics.cpp:189-195)
+    plane_stress: bool = False
+
+    @property
+    def npe(self) -> int:
+        return self.dim + 1
+
+    @property
+    def neq_u(self) -> int:
+        return self.dim
+
+    @property
+    def ndofs_elem(self) -> int:
+        n = self.npe * self.dim
+        if self.mixed:
+            n += self.npe
+        return n
+
+    def unpack(self, x_e: jnp.ndarray):
+        """Split flat element dofs into (u_e (npe, d), p_e (npe,) or None)."""
+        d, npe = self.dim, self.npe
+        u = x_e[: npe * d].reshape(npe, d)
+        p = x_e[npe * d :] if self.mixed else None
+        return u, p
+
+    def pack(self, u_e, p_e=None):
+        parts = [u_e.reshape(-1)]
+        if self.mixed:
+            parts.append(p_e.reshape(-1))
+        return jnp.concatenate(parts)
+
+
+def elem_kinematics(spec: MechanicsSpec, x_e, x_prev_e, grad_N) -> Kinematics:
+    """grad_u[i, j] = sum_n u[n, i] dN_n/dx_j at the (single) ip-set-0
+    point; constant over the element for P1."""
+    u, _ = spec.unpack(x_e)
+    u_prev, _ = spec.unpack(x_prev_e)
+    gu = jnp.einsum("ni,nj->ij", u, grad_N)
+    gu_prev = jnp.einsum("ni,nj->ij", u_prev, grad_N)
+    return Kinematics(grad_u=gu, grad_u_prev=gu_prev)
+
+
+def make_elem_residual(model, spec: MechanicsSpec):
+    """Build the pure per-element residual function.
+
+    Returns f(x_e, x_prev_e, xi, geom, params) -> R_e (ndofs_elem,)
+    where geom = (grad_N (npe, d), detJ scalar, h scalar).
+    """
+    d = spec.dim
+    npe = spec.npe
+    meas0 = PARENT_MEASURE[d]
+    # ip set 1 tables (pressure linear term, order 2)
+    q1_pts, q1_wts = basis.quadrature(d, 2)
+    N1 = basis.shape_values(d, q1_pts)  # (npts1, npe)
+    # ip set 0 point (centroid): N = 1/npe
+    N0 = np.full((npe,), 1.0 / npe)
+
+    def f(x_e, x_prev_e, xi, geom, params):
+        grad_N, detJ, h = geom
+        dtype = x_e.dtype
+        kin = elem_kinematics(spec, x_e, x_prev_e, grad_N)
+        u_e, p_e = spec.unpack(x_e)
+        wdv0 = detJ * meas0  # w * dv at the single order-1 point
+
+        if spec.mixed:
+            p_ip = jnp.asarray(N0, dtype) @ p_e
+        else:
+            p_ip = jnp.zeros((), dtype)
+
+        sigma = model.cauchy(xi, kin, params, p_ip)
+        if model.finite_deformation:
+            sigma = sigma @ cofactor(kin.F)
+
+        # momentum: R_u[n, i] = sigma[i, j] grad_N[n, j] wdv
+        R_u = jnp.einsum("ij,nj->ni", sigma, grad_N) * wdv0
+
+        if not spec.mixed:
+            return R_u.reshape(-1)
+
+        E, nu = params[0], params[1]
+        mu = compute_mu(E, nu)
+        psf = model.pressure_scale_factor(params)
+
+        # pressure, ip set 0: constant part + stabilization
+        hydro = model.hydro_cauchy(xi, kin, params)
+        R_p = -(hydro / psf) * jnp.asarray(N0, dtype) * wdv0
+
+        grad_p = p_e @ grad_N  # (d,)
+        tau = spec.stab_multiplier * 0.5 * h * h / mu
+        stab = tau * jnp.eye(d, dtype=dtype)
+        if model.finite_deformation:
+            cof = cofactor(kin.F)
+            stab = stab @ (cof.T @ cof) / jnp.linalg.det(kin.F)
+        R_p = R_p - jnp.einsum("ni,ij,j->n", grad_N, stab, grad_p) * wdv0
+
+        # pressure, ip set 1 (order 2): -(p / psf) N_n w dv
+        N1j = jnp.asarray(N1, dtype)
+        p_q = N1j @ p_e  # (npts1,)
+        w1 = jnp.asarray(q1_wts, dtype) * detJ
+        R_p = R_p - jnp.einsum("q,qn,q->n", p_q / psf, N1j, w1)
+
+        return jnp.concatenate([R_u.reshape(-1), R_p])
+
+    return f

@@ -1,0 +1,132 @@
+"""Batched per-integration-point constitutive Newton solves.
+
+Re-design of LocalResidual<FADT>::solve_nonlinear (reference: e.g.
+source/calibr8/src/small_J2.cpp:122-172): per integration point, Newton
+on C(xi; xi_prev, x, p) = 0 with the branch path re-selected at every
+iterate, convergence on ||C|| (absolute, or relative to the first
+iterate), and a dense (<= ~8x8) solve per iterate.
+
+TPU design: one lax.while_loop per point, vmapped over all points of an
+element set (the batched while runs until every lane converges, with
+converged lanes frozen).  The dense solves are batched jnp.linalg.solve
+on tiny matrices.  Jacobians d C / d xi come from jax.jacfwd on the same
+pure residual — the moral equivalent of the reference's FADT seeding
+(local_residual.hpp:86-109) without a separate AD type system.
+
+Divergence handling matches the reference: a point that exhausts
+max_iters reports failure; the caller sums failures and contracts the
+global line search (primal.cpp:99-104, 163-195).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from calibr8_tpu.models.base import ELASTIC, Kinematics
+
+
+class LocalSolveResult(NamedTuple):
+    xi: jnp.ndarray  # (..., nxi) converged local state
+    path: jnp.ndarray  # (...,) int branch taken at the solution
+    failed: jnp.ndarray  # (...,) bool: Newton exhausted max_iters
+    iters: jnp.ndarray  # (...,) int iterations used
+
+
+class _NewtonState(NamedTuple):
+    xi: jnp.ndarray
+    path: jnp.ndarray
+    it: jnp.ndarray
+    r0: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_local_solver(model, max_iters: int, abs_tol: float, rel_tol: float):
+    """Build solve(xi_prev, kin, params) -> LocalSolveResult for a single
+    integration point; vmap at the call site."""
+
+    nxi = model.nxi()
+
+    if not model.needs_local_newton():
+
+        def trivial(xi_prev, kin: Kinematics, params):
+            xi = jnp.zeros_like(xi_prev)
+            return LocalSolveResult(
+                xi=xi,
+                path=jnp.asarray(ELASTIC, dtype=jnp.int32),
+                failed=jnp.asarray(False),
+                iters=jnp.asarray(0, dtype=jnp.int32),
+            )
+
+        return trivial
+
+    def solve(xi_prev, kin: Kinematics, params):
+        dtype = xi_prev.dtype
+        xi0 = model.first_guess(xi_prev, kin, params)
+
+        def resid(xi, path):
+            return model.residual(xi, xi_prev, kin, params, path)
+
+        jac = jax.jacfwd(resid, argnums=0)
+
+        def cond(s: _NewtonState):
+            return jnp.logical_and(s.it <= max_iters, jnp.logical_not(s.done))
+
+        def body(s: _NewtonState):
+            path = model.pathfn(s.xi, xi_prev, kin, params)
+            R = resid(s.xi, path)
+            rnorm = jnp.linalg.norm(R)
+            r0 = jnp.where(s.it == 1, rnorm, s.r0)
+            conv = jnp.logical_or(rnorm < abs_tol, rnorm / jnp.maximum(r0, 1e-300) < rel_tol)
+            J = jac(s.xi, path)
+            dxi = jnp.linalg.solve(J, -R)
+            # guard NaN/Inf updates (singular local Jacobian): keep xi,
+            # iterate count still advances toward failure
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(dxi)))
+            dxi = jnp.where(bad, jnp.zeros_like(dxi), dxi)
+            xi_new = jnp.where(conv, s.xi, s.xi + dxi)
+            return _NewtonState(
+                xi=xi_new,
+                path=path,
+                it=s.it + 1,
+                r0=r0,
+                done=conv,
+            )
+
+        s0 = _NewtonState(
+            xi=xi0.astype(dtype),
+            path=jnp.asarray(ELASTIC, dtype=jnp.int32),
+            it=jnp.asarray(1, dtype=jnp.int32),
+            r0=jnp.asarray(1.0, dtype=dtype),
+            done=jnp.asarray(False),
+        )
+        s = jax.lax.while_loop(cond, body, s0)
+        failed = jnp.logical_not(s.done)
+        return LocalSolveResult(
+            xi=s.xi, path=s.path, failed=failed, iters=s.it - 1
+        )
+
+    return solve
+
+
+def local_jacobians(model, xi, xi_prev, kin: Kinematics, params, path):
+    """Derivative blocks of C at the converged state with the branch
+    forced (reference force_path: local_residual.hpp:130-138).
+
+    Returns dict with dC_dxi (nxi,nxi), dC_dxiprev, dC_dgradu (nxi,d,d),
+    dC_dgraduprev, dC_dp (nxi,np).
+    """
+
+    def C(xi_, xi_prev_, gu, gu_prev, params_):
+        k = Kinematics(grad_u=gu, grad_u_prev=gu_prev)
+        return model.residual(xi_, xi_prev_, k, params_, path)
+
+    args = (xi, xi_prev, kin.grad_u, kin.grad_u_prev, params)
+    out = {}
+    names = ["dC_dxi", "dC_dxiprev", "dC_dgradu", "dC_dgraduprev", "dC_dp"]
+    for i, name in enumerate(names):
+        out[name] = jax.jacfwd(C, argnums=i)(*args)
+    return out

@@ -1,0 +1,161 @@
+"""Problem wiring: deck -> mesh -> disc -> model -> solvers -> QoI.
+
+The analog of the reference's State container + driver setup
+(reference: source/calibr8/src/state.{hpp,cpp}, main_primal.cpp:33-120):
+bundles the discretization, the residual/model kernels, boundary
+conditions, the QoI, and the step solver for one problem instance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from calibr8_tpu.deck import ProblemSpec, load_deck
+from calibr8_tpu.fem.assembly import Assembler
+from calibr8_tpu.fem.bcs import DirichletBCs, DirichletSpec, TractionBCs, TractionSpec
+from calibr8_tpu.fem.disc import Disc
+from calibr8_tpu.mechanics.global_residual import MechanicsSpec
+from calibr8_tpu.mesh import generators
+from calibr8_tpu.models import create_local_model
+from calibr8_tpu.qoi import create_qoi
+from calibr8_tpu.solve.linear import LinearCfg
+from calibr8_tpu.solve.newton import LineSearchParams, NewtonCfg, StepSolver
+from calibr8_tpu.solve.primal import Primal, TimeGrid
+
+
+def build_mesh(spec: ProblemSpec, mesh=None):
+    if mesh is not None:
+        return mesh
+    d = spec.disc
+    if "builtin mesh" in d:
+        bm = dict(d["builtin mesh"])
+        kind = bm.pop("type")
+        fn = {
+            "cube": generators.cube,
+            "square": generators.square,
+            "notch2D": generators.notch2d,
+            "notch3D": generators.notch3d,
+        }[kind]
+        return fn(**bm)
+    mesh_file = d.get("mesh file")
+    if mesh_file and str(mesh_file).endswith(".msh"):
+        from calibr8_tpu.mesh.gmsh import read_msh
+
+        return read_msh(mesh_file, assoc_file=d.get("assoc file"))
+    raise ValueError("discretization must provide 'builtin mesh' or a .msh 'mesh file'")
+
+
+class Problem:
+    """One fully wired forward problem (one 'experiment')."""
+
+    def __init__(self, spec: ProblemSpec, mesh=None, dtype=jnp.float64):
+        self.spec = spec
+        gr = spec.global_residual
+        lr = spec.local_residual
+
+        self.mesh = build_mesh(spec, mesh)
+        dim = self.mesh.dim
+
+        self.model = create_local_model(spec.model_name, dim)
+        self.mech_spec = MechanicsSpec(
+            dim=dim,
+            mixed=bool(gr.get("mixed formulation", True)),
+            stab_multiplier=float(gr.get("stabilization multiplier", 1.0)),
+            plane_stress=("plane_stress" in gr.get("type", "mechanics")),
+        )
+        self.disc = Disc(self.mesh, self.mech_spec, dtype=dtype)
+
+        # material parameters per elem set, model order
+        es_names, vals = spec.materials(self.model.param_names)
+        expected = self.disc.elem_set_names
+        if es_names and set(es_names) != set(expected):
+            raise ValueError(
+                f"materials sets {es_names} do not match mesh elem sets {expected}"
+            )
+        # order rows to match disc elem-set order
+        order = [es_names.index(n) for n in expected] if es_names else []
+        self.params0 = jnp.asarray(vals[order], dtype) if es_names else jnp.zeros(
+            (len(expected), self.model.n_params), dtype
+        )
+
+        local_cfg = dict(
+            max_iters=int(lr.get("nonlinear max iters", 100)),
+            abs_tol=float(lr.get("nonlinear absolute tol", 1e-12)),
+            rel_tol=float(lr.get("nonlinear relative tol", 1e-12)),
+        )
+        self.assembler = Assembler(
+            self.disc, self.model, self.mech_spec, local_cfg
+        )
+
+        la = spec.linear_algebra
+        newton_cfg = NewtonCfg(
+            max_iters=int(gr.get("nonlinear max iters", 15)),
+            abs_tol=float(gr.get("nonlinear absolute tol", 1e-8)),
+            rel_tol=float(gr.get("nonlinear relative tol", 1e-8)),
+            print_convergence=bool(gr.get("print convergence", False)),
+            linear=LinearCfg(
+                method=la["method"],
+                tol=la["tolerance"],
+                max_iters=la["maximum iterations"],
+            ),
+            line_search=_ls_params(gr.get("line search", {})),
+        )
+        self.step_solver = StepSolver(self.assembler, newton_cfg)
+
+        self.dbcs = DirichletBCs(
+            self.disc,
+            [DirichletSpec(*e) for e in spec.dirichlet_expression],
+        )
+        tr = spec.tractions
+        self.tbcs = TractionBCs(
+            self.disc, [TractionSpec(*e) for e in tr]
+        ) if tr else None
+
+        qcfg = dict(spec.qoi)
+        qtype = qcfg.pop("type", None)
+        self.qoi = (
+            create_qoi(qtype, self.disc, qcfg, model=self.model) if qtype else None
+        )
+
+        self.time_grid = TimeGrid.uniform(spec.num_steps, spec.step_size)
+
+        self.primal = Primal(
+            self.disc,
+            self.assembler,
+            self.step_solver,
+            self.dbcs,
+            self.tbcs,
+            self.qoi,
+            self.time_grid,
+        )
+
+    # convenience ------------------------------------------------------
+    def solve_primal(self, params_all=None):
+        params = self.params0 if params_all is None else params_all
+        return self.primal.run(params)
+
+    def check_regression(self, J: float) -> bool:
+        reg = self.spec.regression
+        if not reg:
+            return True
+        expected = float(reg["QoI"])
+        tol = float(reg.get("relative error tol", 1e-6))
+        rel = abs(J - expected) / max(abs(expected), 1e-300)
+        return rel <= tol
+
+
+def _ls_params(sub: dict) -> LineSearchParams:
+    return LineSearchParams(
+        c1=float(sub.get("sufficient decrease", 1.0e-4)),
+        backtrack_min=float(sub.get("min backtrack factor", 0.5)),
+        backtrack_max=float(sub.get("max backtrack factor", 0.9)),
+        max_evals=int(sub.get("max evals", 4)),
+        print_info=bool(sub.get("print", False)),
+    )
+
+
+def problem_from_file(path, mesh=None) -> Problem:
+    return Problem(load_deck(path), mesh=mesh)

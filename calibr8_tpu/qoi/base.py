@@ -1,0 +1,55 @@
+"""Quantity-of-interest base: pure per-element functions.
+
+Re-design of QoI<T> (reference: source/calibr8/src/qoi.hpp:20-94): a QoI
+is a pure scalar function of (x_e, xi, geom, params[, measured data])
+accumulated over elements (at the ip-set-0 points, matching the
+reference's lv-shape quadrature order — evaluations.cpp:666) plus
+optional preprocess/postprocess hooks.  Derivatives dJ/dx, dJ/dxi, dJ/dp
+come from jax.jacrev/grad on the same function — replacing
+QoI<FADT>::eigen_dvector (qoi.cpp:226-233).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from calibr8_tpu.mechanics.global_residual import PARENT_MEASURE
+
+
+class QoI:
+    """Subclasses implement elem_value; step-dependent data arrives via
+    `aux` (a pytree prepared per step by setup_step)."""
+
+    name = "base"
+
+    def __init__(self, disc, config=None):
+        self.disc = disc
+        self.config = config or {}
+
+    def setup_step(self, step: int, t: float, dt: float, total_time: float):
+        """Returns the aux pytree for this step (measured data slices,
+        weights...).  Called host-side per step."""
+        return ()
+
+    def elem_value(self, x_e, x_prev_e, xi, geom, params, aux):
+        """Scalar contribution of one element (already includes w*dv)."""
+        raise NotImplementedError
+
+    def evaluate(self, x, x_prev, xi, params_all, aux):
+        """J = sum over elements (jit/vmap over the element axis)."""
+        disc = self.disc
+        x_e = x[disc.edofs]
+        xp_e = x_prev[disc.edofs]
+        pars = params_all[disc.es_ids]
+
+        def one(x_e_, xp_e_, xi_, gN, dJ, h, par):
+            return self.elem_value(x_e_, xp_e_, xi_, (gN, dJ, h), par, aux)
+
+        vals = jax.vmap(one)(
+            x_e, xp_e, xi, disc.grad_N, disc.detJ, disc.h, pars
+        )
+        return jnp.sum(vals)
+
+    def postprocess(self, J: float, step: int) -> float:
+        return J

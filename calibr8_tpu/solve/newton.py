@@ -1,0 +1,214 @@
+"""Global Newton solve with backtracking Armijo line search.
+
+Mirrors the reference primal Newton loop (source/calibr8/src/primal.cpp:31-209)
+and its line search (source/calibr8/src/line_search.hpp): merit
+phi = 1/2 ||R||^2, base slope phi'(0) = -||R_0||^2, trial slope
+phi'(alpha) = R(alpha) . (A(alpha) dx), Hermite-cubic backtracking with
+safeguards, and contraction on failed local (constitutive) solves.
+
+Because the local state is re-solved functionally at every residual
+evaluation (xi = local_solve(x, ...)), the merit is a pure function of
+alpha — no snapshot/restore of integration-point fields is needed
+(the reference must copy fields: primal.cpp:63-195).
+
+Each Newton iteration reuses the line search's accepted-trial assembly
+as the next iteration's base assembly (the reference re-assembles).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from calibr8_tpu.fem.bcs import apply_dbcs_matvec, apply_dbcs_residual
+from calibr8_tpu.fem.assembly import ebe_matvec
+from calibr8_tpu.solve import linear as linear_mod
+
+
+@dataclass
+class LineSearchParams:
+    """Deck sublist 'line search' (line_search.hpp:25-38)."""
+
+    c1: float = 1.0e-4
+    backtrack_min: float = 0.5
+    backtrack_max: float = 0.9
+    max_evals: int = 4
+    print_info: bool = False
+
+
+@dataclass
+class NewtonCfg:
+    max_iters: int = 15
+    abs_tol: float = 1e-8
+    rel_tol: float = 1e-8
+    print_convergence: bool = False
+    linear: linear_mod.LinearCfg = field(default_factory=linear_mod.LinearCfg)
+    line_search: LineSearchParams = field(default_factory=LineSearchParams)
+
+
+def _cubic_min(phi_0, dphi_0, a, phi, slope_a):
+    """Two-point Hermite cubic minimizer (line_search.hpp:59-76)."""
+    d1 = dphi_0 + slope_a - 3.0 * (phi_0 - phi) / (0.0 - a)
+    radicand = d1 * d1 - dphi_0 * slope_a
+    if radicand < 0.0:
+        return 0.5 * a
+    d2 = np.sqrt(radicand)
+    denom = slope_a - dphi_0 + 2.0 * d2
+    if denom == 0.0:
+        return 0.5 * a
+    return a - a * (slope_a + d2 - d1) / denom
+
+
+class NewtonSolveError(RuntimeError):
+    pass
+
+
+class StepSolver:
+    """Solves one pseudo-time step: R(x; x_prev, xi(x), p) = 0."""
+
+    def __init__(self, assembler, cfg: NewtonCfg):
+        self.assembler = assembler
+        self.cfg = cfg
+        self._assemble = jax.jit(self._assemble_impl)
+        self._slope = jax.jit(self._slope_impl)
+
+    def _assemble_impl(self, x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force):
+        a = self.assembler
+        loc = a.local_solve(x, x_prev, xi_prev, params)
+        R, J_e, diag = a.residual_and_jacobian(
+            x, x_prev, loc.xi, xi_prev, loc.path, params
+        )
+        R = R - ext_force
+        R_bc = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
+        nfail = jnp.sum(loc.failed)
+        norm = jnp.linalg.norm(R_bc)
+        return dict(
+            xi=loc.xi,
+            path=loc.path,
+            nfail=nfail,
+            R=R_bc,
+            J_e=J_e,
+            diag=diag,
+            norm=norm,
+        )
+
+    def _slope_impl(self, J_e, diag, R, dx, bc_dofs):
+        n_dofs = R.shape[0]
+        Adx = ebe_matvec(J_e, self.assembler.disc.edofs, dx, n_dofs)
+        Adx = apply_dbcs_matvec(Adx, diag, dx, bc_dofs)
+        return jnp.dot(R, Adx)
+
+    def solve_at_step(
+        self,
+        x,
+        x_prev,
+        xi_prev,
+        params,
+        bc_dofs,
+        bc_vals,
+        ext_force,
+        step: int = 0,
+    ):
+        """Returns (x, xi, path, info). Raises NewtonSolveError on failure
+        (the reference fail()s: primal.cpp:99-104, 183-191, 203-207)."""
+        cfg = self.cfg
+        do_print = cfg.print_convergence
+        disc = self.assembler.disc
+
+        if do_print:
+            print(f"ON PRIMAL STEP ({step})")
+
+        base = self._assemble(x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force)
+        if int(base["nfail"]) > 0:
+            raise NewtonSolveError(
+                f"primal step {step}: local solve failed at the base point"
+            )
+
+        converged = False
+        resid_norm_0 = 1.0
+        it = 1
+        while it <= cfg.max_iters:
+            if do_print:
+                print(f" > ({it}) Newton iteration")
+            abs_norm = float(base["norm"])
+            if it == 1:
+                resid_norm_0 = abs_norm
+            rel_norm = abs_norm / max(resid_norm_0, 1e-300)
+            if do_print:
+                print(f" > absolute ||R|| = {abs_norm:e}")
+                print(f" > relative ||R|| = {rel_norm:e}")
+            if abs_norm < cfg.abs_tol or rel_norm < cfg.rel_tol:
+                converged = True
+                break
+
+            dx = linear_mod.solve(
+                cfg.linear,
+                base["J_e"],
+                disc.edofs,
+                disc.n_dofs,
+                base["diag"],
+                -base["R"],
+                bc_dofs,
+            )
+
+            # --- Armijo backtracking line search (line_search.hpp) ---
+            ls = cfg.line_search
+            phi_0 = 0.5 * abs_norm * abs_norm
+            dphi_0 = -2.0 * phi_0
+            armijo_slope = ls.c1 * dphi_0
+
+            alpha = 1.0
+            best = None  # (phi, alpha, assembled-state)
+            accepted = None
+            for n in range(1, ls.max_evals + 1):
+                x_t = x + alpha * dx
+                trial = self._assemble(
+                    x_t, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force
+                )
+                if int(trial["nfail"]) > 0:
+                    alpha *= 0.5
+                    continue
+                tn = float(trial["norm"])
+                phi = 0.5 * tn * tn
+                if best is None or phi < best[0]:
+                    best = (phi, alpha, trial)
+                if phi <= phi_0 + alpha * armijo_slope:
+                    accepted = (alpha, trial)
+                    if do_print and n > 1:
+                        print(f" > line search: alpha = {alpha:.3e} ({n} evals)")
+                    break
+                slope = float(
+                    self._slope(trial["J_e"], trial["diag"], trial["R"], dx, bc_dofs)
+                )
+                alpha_model = _cubic_min(phi_0, dphi_0, alpha, phi, slope)
+                alpha = min(
+                    max(alpha_model, ls.backtrack_min * alpha),
+                    ls.backtrack_max * alpha,
+                )
+
+            if accepted is None:
+                if best is None:
+                    raise NewtonSolveError(
+                        f"primal step {step}, Newton iter {it}: line search could "
+                        "not assemble at any trial step (local solve diverged)"
+                    )
+                if do_print:
+                    print(
+                        f" > line search: reached max evals, alpha = {best[1]:.3e}"
+                    )
+                accepted = (best[1], best[2])
+
+            alpha, base = accepted
+            x = x + alpha * dx
+            it += 1
+
+        if not converged:
+            raise NewtonSolveError(
+                f"Newton's method failed in {cfg.max_iters} iterations"
+            )
+
+        info = dict(iterations=it, resid_norm=float(base["norm"]))
+        return x, base["xi"], base["path"], info
