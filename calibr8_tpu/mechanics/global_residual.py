@@ -44,10 +44,11 @@ class MechanicsSpec:
     dim: int
     mixed: bool = True
     stab_multiplier: float = 1.0
-    # 'current' h recomputed from the active mesh, or 'base' h carried
-    # from the coarse mesh for nested-space error estimation
-    # (reference: global_residual.hpp:288, mechanics.cpp:189-195)
+    # 'mechanics_plane_stress' (reference: mechanics_plane_stress.cpp):
+    # displacement-only, thickness-weighted, PK1 built with the local
+    # z-stretch variable for finite-deformation models
     plane_stress: bool = False
+    thickness: float = 1.0
 
     @property
     def npe(self) -> int:
@@ -116,6 +117,20 @@ def make_elem_residual(model, spec: MechanicsSpec):
             p_ip = jnp.zeros((), dtype)
 
         sigma = model.cauchy(xi, kin, params, p_ip)
+        if spec.plane_stress:
+            # PK1 = z_stretch * J * sigma * F^{-T}
+            # (mechanics_plane_stress.cpp:66-84)
+            if model.finite_deformation:
+                F = kin.F
+                zs = xi[model.z_stretch_idx]
+                sigma = zs * jnp.linalg.det(F) * sigma @ jnp.linalg.inv(F).T
+            R_u = (
+                jnp.einsum("ij,nj->ni", sigma, grad_N)
+                * wdv0
+                * spec.thickness
+            )
+            return R_u.reshape(-1)
+
         if model.finite_deformation:
             sigma = sigma @ cofactor(kin.F)
 

@@ -279,17 +279,25 @@ def notch3d(h: float = 0.15, radius: float = 0.2, lz: float = 0.2, nz: int = 2) 
     for k in range(nz):
         lo, hi = k * n2, (k + 1) * n2
         for t in m2.conn:
-            a, b, c = int(t[0]), int(t[1]), int(t[2])
-            # split prism (a,b,c | a',b',c') into 3 tets consistently by
-            # global node index ordering (guarantees conforming faces)
-            v = [a + lo, b + lo, c + lo, a + hi, b + hi, c + hi]
-            prism_tets = [
-                (0, 1, 2, 3),
-                (1, 2, 3, 4),
-                (2, 3, 4, 5),
-            ]
+            # Dompierre et al. prism split: rotate so the smallest global
+            # index is vertex 0, then pick the diagonal template by
+            # comparing indices — quad-face diagonals always pass through
+            # each face's smallest vertex, so adjacent prisms conform.
+            v = [int(t[0]) + lo, int(t[1]) + lo, int(t[2]) + lo,
+                 int(t[0]) + hi, int(t[1]) + hi, int(t[2]) + hi]
+            rot = int(np.argmin(v[:3]))
+            perm = {
+                0: [0, 1, 2, 3, 4, 5],
+                1: [1, 2, 0, 4, 5, 3],
+                2: [2, 0, 1, 5, 3, 4],
+            }[rot]
+            w = [v[p] for p in perm]
+            if min(w[1], w[5]) < min(w[2], w[4]):
+                prism_tets = [(0, 1, 2, 5), (0, 1, 5, 4), (0, 4, 5, 3)]
+            else:
+                prism_tets = [(0, 1, 2, 4), (0, 4, 2, 5), (0, 4, 5, 3)]
             for tt in prism_tets:
-                tet = [v[i] for i in tt]
+                tet = [w[i] for i in tt]
                 p = coords[tet]
                 d = np.linalg.det(p[1:] - p[0])
                 if abs(d) < 1e-14:

@@ -190,6 +190,12 @@ class LocalModel:
     # models whose local state is 3D tensors even in 2D problems
     # (plane strain/stress variants) override kinematic embedding.
     uses_path: bool = True
+    # index of the out-of-plane stretch in xi for finite-deformation
+    # plane-stress models (reference: local_residual.hpp:451-452)
+    z_stretch_idx: int | None = None
+    # local Newton absolute tolerance doubles as the branch-selection
+    # tolerance (f >= -tol -> plastic); set from the deck
+    abs_tol: float = 1e-12
 
     def __init__(self, dim: int):
         self.dim = dim

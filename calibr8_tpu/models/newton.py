@@ -72,11 +72,20 @@ def make_local_solver(model, max_iters: int, abs_tol: float, rel_tol: float):
 
         jac = jax.jacfwd(resid, argnums=0)
 
+        # Hosford/Barlat-style solves (reference: small_hosford.cpp /
+        # hypo_hosford.cpp / hypo_barlat.cpp solve_nonlinear) select the
+        # branch at the first iterate only, then force it, and damp the
+        # Newton update with a backtracking line search on 1/2||C||^2.
+        freeze_path = getattr(model, "freeze_path", False)
+        use_ls = getattr(model, "local_line_search", freeze_path)
+
         def cond(s: _NewtonState):
             return jnp.logical_and(s.it <= max_iters, jnp.logical_not(s.done))
 
         def body(s: _NewtonState):
             path = model.pathfn(s.xi, xi_prev, kin, params)
+            if freeze_path:
+                path = jnp.where(s.it == 1, path, s.path)
             R = resid(s.xi, path)
             rnorm = jnp.linalg.norm(R)
             r0 = jnp.where(s.it == 1, rnorm, s.r0)
@@ -87,6 +96,26 @@ def make_local_solver(model, max_iters: int, abs_tol: float, rel_tol: float):
             # iterate count still advances toward failure
             bad = jnp.logical_not(jnp.all(jnp.isfinite(dxi)))
             dxi = jnp.where(bad, jnp.zeros_like(dxi), dxi)
+            if use_ls:
+                # backtracking halving on the merit 1/2||C||^2 with the
+                # Armijo condition (the simple-safeguard version of the
+                # reference's cubic line search)
+                phi0 = 0.5 * rnorm * rnorm
+                c1 = 1.0e-4
+
+                def ls_body(k, carry):
+                    alpha, accepted = carry
+                    Rt = resid(s.xi + alpha * dxi, path)
+                    phit = 0.5 * jnp.sum(Rt * Rt)
+                    ok = phit <= phi0 * (1.0 - 2.0 * c1 * alpha)
+                    ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(Rt)))
+                    new_alpha = jnp.where(jnp.logical_or(ok, accepted), alpha, alpha * 0.5)
+                    return new_alpha, jnp.logical_or(accepted, ok)
+
+                alpha, _ = jax.lax.fori_loop(
+                    0, 4, ls_body, (jnp.asarray(1.0, dtype), jnp.asarray(False))
+                )
+                dxi = alpha * dxi
             xi_new = jnp.where(conv, s.xi, s.xi + dxi)
             return _NewtonState(
                 xi=xi_new,

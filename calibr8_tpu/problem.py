@@ -60,11 +60,15 @@ class Problem:
         dim = self.mesh.dim
 
         self.model = create_local_model(spec.model_name, dim)
+        self.model.abs_tol = float(lr.get("nonlinear absolute tol", 1e-12))
+        gr_type = gr.get("type", "mechanics")
+        plane_stress = gr_type == "mechanics_plane_stress"
         self.mech_spec = MechanicsSpec(
             dim=dim,
-            mixed=bool(gr.get("mixed formulation", True)),
+            mixed=(not plane_stress) and bool(gr.get("mixed formulation", True)),
             stab_multiplier=float(gr.get("stabilization multiplier", 1.0)),
-            plane_stress=("plane_stress" in gr.get("type", "mechanics")),
+            plane_stress=plane_stress,
+            thickness=float(gr.get("thickness", 1.0)),
         )
         self.disc = Disc(self.mesh, self.mech_spec, dtype=dtype)
 
