@@ -123,6 +123,9 @@ class Problem:
         self.qoi = (
             create_qoi(qtype, self.disc, qcfg, model=self.model) if qtype else None
         )
+        # reaction-based QoIs need the assembler for internal forces
+        if self.qoi is not None and hasattr(self.qoi, "assembler"):
+            self.qoi.assembler = self.assembler
 
         self.time_grid = TimeGrid.uniform(spec.num_steps, spec.step_size)
 

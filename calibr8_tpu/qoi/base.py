@@ -53,3 +53,7 @@ class QoI:
 
     def postprocess(self, J: float, step: int) -> float:
         return J
+
+    def after_step(self, x, x_prev, xi, params_all, step: int) -> None:
+        """Host-side per-step hook (e.g. writing load.dat histories —
+        calibration.cpp:351-366); no-op by default."""

@@ -63,15 +63,14 @@ class Adjoint:
         self._step = jax.jit(self._step_impl)
 
     # -- element-block helpers -----------------------------------------
-    def _blocks(self, x, x_prev, xi, xi_prev, path, params_all, aux):
-        """Per-element derivative blocks + QoI partials (vmapped)."""
+    def _blocks(self, x, x_prev, xi, xi_prev, path, params_all):
+        """Per-element derivative blocks (vmapped)."""
         a = self.assembler
         disc = a.disc
         model, spec = a.model, a.spec
         x_e = a.gather(x)
         xp_e = a.gather(x_prev)
         pars = a.params_per_elem(params_all)
-        qoi = self.qoi
 
         def one(x_e_, xp_e_, xi_, xip_, path_, gN, dJ, h, par):
             geom = (gN, dJ, h)
@@ -98,19 +97,6 @@ class Adjoint:
             dxi_dx = -jnp.linalg.solve(dC_dxi, dC_dx)
             J_total = dR_dx + dR_dxi @ dxi_dx
 
-            if qoi is not None:
-
-                def Jq(xe__, xi__, par__):
-                    return qoi.elem_value(xe__, xp_e_, xi__, geom, par__, aux)
-
-                dJ_dx = jax.grad(Jq, 0)(x_e_, xi_, par)
-                dJ_dxi = jax.grad(Jq, 1)(x_e_, xi_, par)
-                dJ_dp = jax.grad(Jq, 2)(x_e_, xi_, par)
-            else:
-                dJ_dx = jnp.zeros_like(x_e_)
-                dJ_dxi = jnp.zeros_like(xi_)
-                dJ_dp = jnp.zeros_like(par)
-
             return dict(
                 dC_dxi=dC_dxi,
                 dC_dxprev=dC_dxprev,
@@ -120,9 +106,6 @@ class Adjoint:
                 dR_dp=dR_dp,
                 dxi_dx=dxi_dx,
                 J_total=J_total,
-                dJ_dx=dJ_dx,
-                dJ_dxi=dJ_dxi,
-                dJ_dp=dJ_dp,
             )
 
         return jax.vmap(one)(
@@ -130,17 +113,35 @@ class Adjoint:
             disc.grad_N, disc.detJ, disc.h, pars,
         )
 
+    def _qoi_partials(self, x, x_prev, xi, params_all, aux):
+        """Global QoI partials dJ/dx (n_dofs,), dJ/dxi (n_elem, nxi),
+        dJ/dp (n_sets, n_params) — the analog of QoI<FADT> seeded
+        evaluations (qoi.cpp:226-233) via one jax.grad call."""
+        disc = self.assembler.disc
+        if self.qoi is None:
+            return (
+                jnp.zeros(disc.n_dofs, disc.dtype),
+                jnp.zeros((disc.n_elem, self.assembler.nxi), disc.dtype),
+                jnp.zeros_like(params_all),
+            )
+
+        def Jfn(x_, xi_, p_):
+            return self.qoi.evaluate(x_, x_prev, xi_, p_, aux)
+
+        return jax.grad(Jfn, argnums=(0, 1, 2))(x, xi, params_all)
+
     def _step_impl(
         self, x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
     ):
         a = self.assembler
         disc = a.disc
-        B = self._blocks(x, x_prev, xi, xi_prev, path, params_all, aux)
+        B = self._blocks(x, x_prev, xi, xi_prev, path, params_all)
+        dJ_dx, dJ_dxi, dJ_dp = self._qoi_partials(x, x_prev, xi, params_all, aux)
 
-        # RHS_e = -dJ/dx + f + dxi_dx^T (g - dJ/dxi)
-        g_mod = g - B["dJ_dxi"]
-        rhs_e = -B["dJ_dx"] + f + jnp.einsum("eij,ei->ej", B["dxi_dx"], g_mod)
-        rhs = scatter_residual(rhs_e, disc.edofs, disc.n_dofs)
+        # RHS = -dJ/dx + scatter[ f + dxi_dx^T (g - dJ/dxi) ]
+        g_mod = g - dJ_dxi
+        rhs_e = f + jnp.einsum("eij,ei->ej", B["dxi_dx"], g_mod)
+        rhs = -dJ_dx + scatter_residual(rhs_e, disc.edofs, disc.n_dofs)
         rhs = zero_dbc_rows(rhs, bc_dofs)
 
         # diag of the (untransposed) operator for the DBC row scaling
@@ -168,13 +169,14 @@ class Adjoint:
         g_next = -jnp.einsum("eij,ei->ej", B["dC_dxiprev"], phi)
 
         # parameter gradient: (dC/dp)^T phi + dJ/dp + (dR/dp)^T z
-        grad_e = (
-            jnp.einsum("eip,ei->ep", B["dC_dp"], phi)
-            + B["dJ_dp"]
-            + jnp.einsum("ejp,ej->ep", B["dR_dp"], z_e)
+        grad_e = jnp.einsum("eip,ei->ep", B["dC_dp"], phi) + jnp.einsum(
+            "ejp,ej->ep", B["dR_dp"], z_e
         )
         n_sets = params_all.shape[0]
-        grad = jax.ops.segment_sum(grad_e, disc.es_ids, num_segments=n_sets)
+        grad = (
+            jax.ops.segment_sum(grad_e, disc.es_ids, num_segments=n_sets)
+            + dJ_dp
+        )
 
         return AdjointStepResult(z=z, phi=phi, f=f_next, g=g_next, grad=grad)
 

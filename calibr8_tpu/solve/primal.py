@@ -98,6 +98,7 @@ class Primal:
                     self.qoi.evaluate(x_new, x, xi_new, params_all, aux)
                 )
                 J_step = self.qoi.postprocess(J_step, step)
+                self.qoi.after_step(x_new, x, xi_new, params_all, step)
             traj.x.append(x_new)
             traj.xi.append(xi_new)
             traj.path.append(path_new)
