@@ -111,8 +111,12 @@ def test_femu_parameter_recovery(method, tmp_path):
     x0 = active.to_canonical(active.extract(cal.params0))
 
     out_file = str(tmp_path / "calibrated_params.txt")
+    # trust-constr approaches the flat S-direction minimum more slowly
+    # than L-BFGS-B on this problem; give it a larger budget
+    max_iters = 150 if method == "L-BFGS-B" else 500
     res = run_inverse(
-        obj, active, x0=x0, method=method, max_iters=150, out_file=out_file
+        obj, active, x0=x0, method=method, max_iters=max_iters,
+        gtol=1e-10, out_file=out_file,
     )
 
     recovered = dict(zip([n.split("/")[-1] for n in res.names], res.params))
