@@ -103,7 +103,7 @@ class _ErrorKernels:
         model, spec = a.model, a.spec
         x_e = a.gather(x)
         xp_e = a.gather(x_prev)
-        z_e = z[disc.edofs]
+        z_e = disc.gather_elem(z)
         pars = a.params_per_elem(params_all)
 
         def one(x_e_, xp_e_, xi_, xip_, path_, z_e_, phi_, gN, dJ, h, par):
@@ -128,9 +128,9 @@ class _ErrorKernels:
         model, spec = a.model, a.spec
         x_e = a.gather(x)
         xp_e = a.gather(x_prev)
-        z_e = z[disc.edofs]
-        dx_e = dx[disc.edofs]
-        dxp_e = dx_prev[disc.edofs]
+        z_e = disc.gather_elem(z)
+        dx_e = disc.gather_elem(dx)
+        dxp_e = disc.gather_elem(dx_prev)
         pars = a.params_per_elem(params_all)
 
         def one(x_e_, xp_e_, xi_, xip_, path_, z_e_, phi_, dx_e_, dxp_e_,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from calibr8_tpu.mechanics.global_residual import MechanicsSpec, elem_kinematics, make_elem_residual
 from calibr8_tpu.models.newton import make_local_solver
+from calibr8_tpu.utils.smallsolve import gauss_solve
 
 
 class Assembler:
@@ -50,8 +51,8 @@ class Assembler:
 
     # -- gathers -------------------------------------------------------
     def gather(self, x):
-        """(n_dofs,) -> (n_elem, nde) element dof values."""
-        return x[self.disc.edofs]
+        """(n_dofs,) -> (n_elem, nde) element dof values (row-based)."""
+        return self.disc.gather_elem(x)
 
     def params_per_elem(self, params_all):
         """(n_sets, n_params) -> (n_elem, n_params)."""
@@ -90,7 +91,7 @@ class Assembler:
 
     def residual(self, x, x_prev, xi, params_all):
         R_e = self.residual_elems(x, x_prev, xi, params_all)
-        return scatter_residual(R_e, self.disc.edofs, self.disc.n_dofs)
+        return self.disc.scatter_elem(R_e)
 
     # -- condensed element Jacobian ------------------------------------
     def residual_and_jacobian(self, x, x_prev, xi, xi_prev, path, params_all):
@@ -119,7 +120,7 @@ class Assembler:
             if model.needs_local_newton():
                 dC_dxi = jax.jacfwd(C, argnums=0)(xi_, x_e_)
                 dC_dx = jax.jacfwd(C, argnums=1)(xi_, x_e_)
-                dxi_dx = -jnp.linalg.solve(dC_dxi, dC_dx)
+                dxi_dx = -gauss_solve(dC_dxi, dC_dx)
                 dR_dxi = jax.jacfwd(R, argnums=1)(x_e_, xi_)
                 J = dR_dx + dR_dxi @ dxi_dx
             else:
@@ -137,10 +138,8 @@ class Assembler:
             self.disc.h,
             pars,
         )
-        R = scatter_residual(R_e, self.disc.edofs, self.disc.n_dofs)
-        diag = scatter_residual(
-            jnp.diagonal(J_e, axis1=1, axis2=2), self.disc.edofs, self.disc.n_dofs
-        )
+        R = self.disc.scatter_elem(R_e)
+        diag = self.disc.scatter_elem(jnp.diagonal(J_e, axis1=1, axis2=2))
         return R, J_e, diag
 
 
@@ -150,18 +149,25 @@ class Assembler:
 
 
 def scatter_residual(R_e, edofs, n_dofs):
-    """Element residuals -> global residual (the Export-ADD analog)."""
+    """Element residuals -> global residual (the Export-ADD analog).
+
+    Generic scalar-index fallback; the hot path is Disc.scatter_elem
+    (row-based, ~4x faster on TPU)."""
     return jax.ops.segment_sum(
         R_e.reshape(-1), edofs.reshape(-1), num_segments=n_dofs
     )
 
 
-def ebe_matvec(J_e, edofs, v, n_dofs):
-    """Element-by-element J @ v: gather, batched matvec, scatter-add.
+def ebe_matvec_disc(J_e, disc, v):
+    """Element-by-element J @ v with row-based gather/scatter."""
+    v_e = disc.gather_elem(v)
+    Jv_e = jnp.einsum("eij,ej->ei", J_e, v_e)
+    return disc.scatter_elem(Jv_e)
 
-    Batched (n_elem, nde, nde) x (n_elem, nde) einsum drives the MXU;
-    segment_sum is the single gather/scatter bottleneck.
-    """
+
+def ebe_matvec(J_e, edofs, v, n_dofs):
+    """Element-by-element J @ v: gather, batched matvec, scatter-add
+    (scalar-index fallback; prefer ebe_matvec_disc)."""
     v_e = v[edofs]
     Jv_e = jnp.einsum("eij,ej->ei", J_e, v_e)
     return jax.ops.segment_sum(

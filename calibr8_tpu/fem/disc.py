@@ -18,6 +18,7 @@ the same 2-block structure the reference's block preconditioner exploits
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,17 +55,19 @@ class Disc:
         self.coords = jnp.asarray(sorted_mesh.coords, dtype)
         self.conn = jnp.asarray(sorted_mesh.conn, jnp.int32)
 
-        # element dof map: [u dofs (npe*d), p dofs (npe)]
+        # element dof map, NODE-INTERLEAVED: per node [u_0..u_{d-1}, p]
+        # (matches MechanicsSpec.unpack/pack; row-based gathers over a
+        # (n_nodes, ndpn) node matrix are ~5x faster on TPU than scalar
+        # dof gathers)
         conn = sorted_mesh.conn
-        u_dofs = (conn[:, :, None] * d + np.arange(d)[None, None, :]).reshape(
-            n_elem, npe * d
-        )
+        node_dofs = conn[:, :, None] * d + np.arange(d)[None, None, :]
         if spec.mixed:
-            p_dofs = self.n_dofs_u + conn
-            edofs = np.concatenate([u_dofs, p_dofs], axis=1)
+            p_dofs = (self.n_dofs_u + conn)[:, :, None]
+            edofs = np.concatenate([node_dofs, p_dofs], axis=2)
         else:
-            edofs = u_dofs
-        self.edofs = jnp.asarray(edofs, jnp.int32)
+            edofs = node_dofs
+        self.ndpn = spec.ndofs_per_node
+        self.edofs = jnp.asarray(edofs.reshape(n_elem, -1), jnp.int32)
 
         # element-set index per element
         es_ids = np.zeros(n_elem, dtype=np.int32)
@@ -104,3 +107,37 @@ class Disc:
 
     def geom_tuple(self):
         return (self.grad_N, self.detJ, self.h)
+
+    # -- node-matrix layout (hot gather/scatter path) ------------------
+    def nodemat(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Flat dofs -> (n_nodes, ndpn) node matrix [u | p]."""
+        d = self.spec.dim
+        u = x[: self.n_dofs_u].reshape(self.n_nodes, d)
+        if not self.spec.mixed:
+            return u
+        p = x[self.n_dofs_u :].reshape(self.n_nodes, 1)
+        return jnp.concatenate([u, p], axis=1)
+
+    def nodemat_to_flat(self, X: jnp.ndarray) -> jnp.ndarray:
+        d = self.spec.dim
+        parts = [X[:, :d].reshape(-1)]
+        if self.spec.mixed:
+            parts.append(X[:, d])
+        return jnp.concatenate(parts)
+
+    def gather_elem(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(n_dofs,) -> (n_elem, nde) element dof values via one
+        row-gather of the node matrix."""
+        X = self.nodemat(x)
+        return X[self.conn].reshape(self.n_elem, -1)
+
+    def scatter_elem(self, R_e: jnp.ndarray) -> jnp.ndarray:
+        """(n_elem, nde) element values -> assembled (n_dofs,) via a
+        row-based segment_sum over the connectivity (the Export-ADD
+        analog, linear_alg.hpp:38-53)."""
+        npe = self.spec.npe
+        rows = R_e.reshape(self.n_elem * npe, self.ndpn)
+        X = jax.ops.segment_sum(
+            rows, self.conn.reshape(-1), num_segments=self.n_nodes
+        )
+        return self.nodemat_to_flat(X)

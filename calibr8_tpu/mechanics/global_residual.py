@@ -59,24 +59,33 @@ class MechanicsSpec:
         return self.dim
 
     @property
-    def ndofs_elem(self) -> int:
-        n = self.npe * self.dim
-        if self.mixed:
-            n += self.npe
-        return n
+    def ndofs_per_node(self) -> int:
+        return self.dim + (1 if self.mixed else 0)
 
+    @property
+    def ndofs_elem(self) -> int:
+        return self.npe * self.ndofs_per_node
+
+    # Element dof vectors are NODE-INTERLEAVED: x_e.reshape(npe, ndpn)
+    # with columns [u_0..u_{d-1}, p].  This layout makes the hot
+    # gather/scatter row-based ((n_nodes, ndpn) row gathers are ~5x
+    # faster than scalar dof gathers on TPU) — see fem/assembly.py.
     def unpack(self, x_e: jnp.ndarray):
         """Split flat element dofs into (u_e (npe, d), p_e (npe,) or None)."""
-        d, npe = self.dim, self.npe
-        u = x_e[: npe * d].reshape(npe, d)
-        p = x_e[npe * d :] if self.mixed else None
+        xm = x_e.reshape(self.npe, self.ndofs_per_node)
+        u = xm[:, : self.dim]
+        p = xm[:, self.dim] if self.mixed else None
         return u, p
 
     def pack(self, u_e, p_e=None):
-        parts = [u_e.reshape(-1)]
         if self.mixed:
-            parts.append(p_e.reshape(-1))
-        return jnp.concatenate(parts)
+            xm = jnp.concatenate(
+                [u_e.reshape(self.npe, self.dim), p_e.reshape(self.npe, 1)],
+                axis=1,
+            )
+        else:
+            xm = u_e.reshape(self.npe, self.dim)
+        return xm.reshape(-1)
 
 
 def elem_kinematics(spec: MechanicsSpec, x_e, x_prev_e, grad_N) -> Kinematics:
@@ -162,6 +171,6 @@ def make_elem_residual(model, spec: MechanicsSpec):
         w1 = jnp.asarray(q1_wts, dtype) * detJ
         R_p = R_p - jnp.einsum("q,qn,q->n", p_q / psf, N1j, w1)
 
-        return jnp.concatenate([R_u.reshape(-1), R_p])
+        return spec.pack(R_u, R_p)
 
     return f

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from calibr8_tpu.models.base import ELASTIC, Kinematics
+from calibr8_tpu.utils.smallsolve import gauss_solve
 
 
 class LocalSolveResult(NamedTuple):
@@ -91,7 +92,7 @@ def make_local_solver(model, max_iters: int, abs_tol: float, rel_tol: float):
             r0 = jnp.where(s.it == 1, rnorm, s.r0)
             conv = jnp.logical_or(rnorm < abs_tol, rnorm / jnp.maximum(r0, 1e-300) < rel_tol)
             J = jac(s.xi, path)
-            dxi = jnp.linalg.solve(J, -R)
+            dxi = gauss_solve(J, -R)
             # guard NaN/Inf updates (singular local Jacobian): keep xi,
             # iterate count still advances toward failure
             bad = jnp.logical_not(jnp.all(jnp.isfinite(dxi)))

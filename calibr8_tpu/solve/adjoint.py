@@ -38,6 +38,7 @@ from calibr8_tpu.fem.bcs import zero_dbc_rows
 from calibr8_tpu.mechanics.global_residual import elem_kinematics
 from calibr8_tpu.models.base import Kinematics
 from calibr8_tpu.solve import linear as linear_mod
+from calibr8_tpu.utils.smallsolve import gauss_solve
 
 
 class AdjointStepResult(NamedTuple):
@@ -94,7 +95,7 @@ class Adjoint:
             dR_dx = jax.jacfwd(R, 0)(x_e_, xi_, par)
             dR_dxi = jax.jacfwd(R, 1)(x_e_, xi_, par)
             dR_dp = jax.jacfwd(R, 2)(x_e_, xi_, par)
-            dxi_dx = -jnp.linalg.solve(dC_dxi, dC_dx)
+            dxi_dx = -gauss_solve(dC_dxi, dC_dx)
             J_total = dR_dx + dR_dxi @ dxi_dx
 
             return dict(
@@ -141,18 +142,15 @@ class Adjoint:
         # RHS = -dJ/dx + scatter[ f + dxi_dx^T (g - dJ/dxi) ]
         g_mod = g - dJ_dxi
         rhs_e = f + jnp.einsum("eij,ei->ej", B["dxi_dx"], g_mod)
-        rhs = -dJ_dx + scatter_residual(rhs_e, disc.edofs, disc.n_dofs)
+        rhs = -dJ_dx + disc.scatter_elem(rhs_e)
         rhs = zero_dbc_rows(rhs, bc_dofs)
 
         # diag of the (untransposed) operator for the DBC row scaling
-        diag = scatter_residual(
-            jnp.diagonal(B["J_total"], axis1=1, axis2=2), disc.edofs, disc.n_dofs
-        )
+        diag = disc.scatter_elem(jnp.diagonal(B["J_total"], axis1=1, axis2=2))
         z = linear_mod.solve(
             self.linear_cfg,
             B["J_total"],
-            disc.edofs,
-            disc.n_dofs,
+            disc,
             diag,
             rhs,
             bc_dofs,
@@ -160,11 +158,9 @@ class Adjoint:
         )
 
         # local adjoint and history updates
-        z_e = z[disc.edofs]
+        z_e = disc.gather_elem(z)
         rhs_phi = g_mod - jnp.einsum("eji,ej->ei", B["dR_dxi"], z_e)
-        phi = jnp.linalg.solve(
-            B["dC_dxi"].swapaxes(-1, -2), rhs_phi[..., None]
-        )[..., 0]
+        phi = gauss_solve(B["dC_dxi"].swapaxes(-1, -2), rhs_phi)
         f_next = -jnp.einsum("eij,ei->ej", B["dC_dxprev"], phi)
         g_next = -jnp.einsum("eij,ei->ej", B["dC_dxiprev"], phi)
 

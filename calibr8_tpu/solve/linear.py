@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from calibr8_tpu.fem.assembly import dense_matrix, ebe_matvec
+from calibr8_tpu.fem.assembly import dense_matrix, ebe_matvec_disc
 from calibr8_tpu.fem.bcs import apply_dbcs_dense, apply_dbcs_matvec
 
 
@@ -39,13 +39,14 @@ class LinearCfg:
 def solve(
     cfg: LinearCfg,
     J_e,
-    edofs,
-    n_dofs,
+    disc,
     diag,
     b,
     bc_dofs,
     transpose: bool = False,
 ):
+    edofs = disc.edofs
+    n_dofs = disc.n_dofs
     """Solve J x = b with Dirichlet rows replaced by diag * x_row = b_row.
 
     transpose=True solves J^T x = b with Dirichlet *columns* of J^T
@@ -67,7 +68,7 @@ def solve(
         return jnp.linalg.solve(A, b)
 
     def op(v):
-        out = ebe_matvec(op_e, edofs, v, n_dofs)
+        out = ebe_matvec_disc(op_e, disc, v)
         return apply_dbcs_matvec(out, diag, v, bc_dofs)
 
     safe_diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from calibr8_tpu.fem.bcs import apply_dbcs_matvec, apply_dbcs_residual
-from calibr8_tpu.fem.assembly import ebe_matvec
+from calibr8_tpu.fem.assembly import ebe_matvec_disc
 from calibr8_tpu.solve import linear as linear_mod
 
 
@@ -97,7 +97,7 @@ class StepSolver:
 
     def _slope_impl(self, J_e, diag, R, dx, bc_dofs):
         n_dofs = R.shape[0]
-        Adx = ebe_matvec(J_e, self.assembler.disc.edofs, dx, n_dofs)
+        Adx = ebe_matvec_disc(J_e, self.assembler.disc, dx)
         Adx = apply_dbcs_matvec(Adx, diag, dx, bc_dofs)
         return jnp.dot(R, Adx)
 
@@ -147,8 +147,7 @@ class StepSolver:
             dx = linear_mod.solve(
                 cfg.linear,
                 base["J_e"],
-                disc.edofs,
-                disc.n_dofs,
+                disc,
                 base["diag"],
                 -base["R"],
                 bc_dofs,

@@ -32,6 +32,7 @@ import numpy as np
 from calibr8_tpu.expression import Expression
 from calibr8_tpu.mechanics.global_residual import elem_kinematics
 from calibr8_tpu.fem.assembly import scatter_residual
+from calibr8_tpu.utils.smallsolve import gauss_solve
 
 
 def virtual_field_from_expressions(disc, exprs: dict) -> jnp.ndarray:
@@ -137,11 +138,11 @@ class VirtualPower:
         disc = self.disc
         loc, B = self._local_and_blocks(x, x_prev, xi_prev, params_all, None)
         rhs = -B["dC_dp"] - jnp.einsum("eij,ejp->eip", B["dC_dxiprev"], dxi_dp_prev)
-        dxi_dp = jnp.linalg.solve(B["dC_dxi"], rhs)
+        dxi_dp = gauss_solve(B["dC_dxi"], rhs)
         dR_dp_tot = jnp.einsum("eni,eip->enp", B["dR_dxi"], dxi_dp) + B["dR_dp"]
-        R = scatter_residual(B["R"], disc.edofs, disc.n_dofs)
+        R = disc.scatter_elem(B["R"])
         P = jnp.dot(self.vf, R)
-        vf_e = self.vf[disc.edofs]
+        vf_e = disc.gather_elem(self.vf)
         dP_dp_e = jnp.einsum("en,enp->ep", vf_e, dR_dp_tot)
         n_sets = params_all.shape[0]
         dP_dp = jax.ops.segment_sum(dP_dp_e, disc.es_ids, num_segments=n_sets)
@@ -177,11 +178,9 @@ class VirtualPower:
             x_e, xp_e, xi, xi_prev, path,
             disc.grad_N, disc.detJ, disc.h, pars,
         )
-        vf_e = self.vf[disc.edofs]
+        vf_e = disc.gather_elem(self.vf)
         rhs = -c * jnp.einsum("eni,en->ei", dR_dxi, vf_e) - h
-        phi = jnp.linalg.solve(
-            dC_dxi.swapaxes(-1, -2), rhs[..., None]
-        )[..., 0]
+        phi = gauss_solve(dC_dxi.swapaxes(-1, -2), rhs)
         h_next = jnp.einsum("eij,ei->ej", dC_dxiprev, phi)
         grad_e = c * jnp.einsum("en,enp->ep", vf_e, dR_dp) + jnp.einsum(
             "eip,ei->ep", dC_dp, phi
