@@ -30,14 +30,18 @@ def _lazy_imports():
             pass
 
 
-def create_local_model(name: str, dim: int):
+def create_local_model(name: str, dim: int, config=None):
     if name not in _REGISTRY:
         _lazy_imports()
     if name not in _REGISTRY:
         raise ValueError(
             f"unknown local residual type {name!r}; known: {sorted(_REGISTRY)}"
         )
-    return _REGISTRY[name](dim)
+    cls = _REGISTRY[name]
+    try:
+        return cls(dim, config=config)
+    except TypeError:
+        return cls(dim)
 
 
 def available() -> list[str]:

@@ -59,7 +59,7 @@ class Problem:
         self.mesh = build_mesh(spec, mesh)
         dim = self.mesh.dim
 
-        self.model = create_local_model(spec.model_name, dim)
+        self.model = create_local_model(spec.model_name, dim, config=lr)
         self.model.abs_tol = float(lr.get("nonlinear absolute tol", 1e-12))
         gr_type = gr.get("type", "mechanics")
         plane_stress = gr_type == "mechanics_plane_stress"
@@ -72,8 +72,17 @@ class Problem:
         )
         self.disc = Disc(self.mesh, self.mech_spec, dtype=dtype)
 
-        # material parameters per elem set, model order
+        # material parameters per elem set, model order; models with
+        # embedded networks provide default (initial) weight values
         es_names, vals = spec.materials(self.model.param_names)
+        if hasattr(self.model, "default_params"):
+            defaults = self.model.default_params()
+            mats = spec.local_residual.get("materials", {})
+            for i, es in enumerate(es_names):
+                given = mats.get(es, {}) or {}
+                for j, pname in enumerate(self.model.param_names):
+                    if pname not in given:
+                        vals[i, j] = defaults[j]
         expected = self.disc.elem_set_names
         if es_names and set(es_names) != set(expected):
             raise ValueError(
