@@ -28,10 +28,16 @@ environment (e.g. for bfloat16/f32 benchmarking paths).
 
 import os as _os
 
-if _os.environ.get("CALIBR8_X64", "1") != "0":
-    import jax as _jax
+import jax as _jax
 
+if _os.environ.get("CALIBR8_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
+
+# Some TPU plugin sitecustomize hooks force jax_platforms at interpreter
+# start, overriding the JAX_PLATFORMS environment variable; re-assert the
+# user's explicit choice so CPU test runs stay on CPU.
+if _os.environ.get("JAX_PLATFORMS"):
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
 __version__ = "0.1.0"
 

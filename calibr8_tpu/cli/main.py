@@ -1,0 +1,282 @@
+"""Command-line drivers — the analog of the reference's 18 executables
+(reference: source/calibr8/src/main_*.cpp, CMakeLists.txt:84-173).
+
+Usage: python -m calibr8_tpu <command> <deck.yaml> [options]
+
+  primal     forward solve + QoI + regression check + synthetic output
+             (main_primal.cpp)
+  inverse    gradient-based calibration (ROL analog: scipy L-BFGS-B /
+             trust-constr over the canonical box; optional FD-vs-adjoint
+             gradient check with the log10-drop regression)
+             (main_inverse.cpp)
+  objective  single objective + gradient evaluation, writes
+             objective.dat / gradient.dat for external optimizers
+             (main_objective.cpp)
+  verify     nested-space exact verification, effectivity == 1
+             (main_verify.cpp)
+  error      adjoint error estimate + localization on the current mesh
+             (main_error.cpp, single cycle)
+  vfm        virtual-fields-method objective evaluation / calibration
+             (main_virtual_fields_method.cpp)
+  perturb    add Gaussian noise to measured fields in an .npz
+             (perturber.cpp)
+  mls        moving-least-squares smoothing of measured fields
+             (moving_least_squares.cpp)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_problem(deck_path):
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.problem import Problem
+
+    spec = load_deck(deck_path)
+    prob = Problem(spec)
+    d = spec.disc
+    fields = d.get("fields file")
+    if fields:
+        from calibr8_tpu.io.synthetic import load_fields
+
+        load_fields(prob.mesh, fields)
+    return spec, prob
+
+
+def cmd_primal(args):
+    spec, prob = _load_problem(args.deck)
+    traj = prob.solve_primal()
+    J = traj.J
+    print(f"J: {J:.16e}")
+    if spec.regression:
+        expected = float(spec.regression["QoI"])
+        tol = float(spec.regression.get("relative error tol", 1e-6))
+        err = abs(J - expected) / abs(expected)
+        print("------ regression summary -----")
+        print(f"J computed: {J:.17e}")
+        print(f"J expected: {expected:.17e}")
+        print(f"relative error: {err:.17e}")
+        print(" PASS" if err < tol else " FAIL")
+        print("-------------------------------")
+        if err >= tol:
+            sys.exit(1)
+    if spec.sub("problem").get("write synthetic", False):
+        from calibr8_tpu.io.synthetic import attach_synthetic, save_fields
+
+        attach_synthetic(prob.mesh, prob.disc, traj)
+        out = spec.problem_name + "_synthetic.npz"
+        save_fields(prob.mesh, out)
+        print(f"synthetic fields written: {out}")
+    if args.vtk:
+        from calibr8_tpu.io.vtk import write_pvd
+
+        write_pvd(args.vtk, prob, traj)
+        print(f"VTK output written: {args.vtk}")
+    return 0
+
+
+def _build_objective(spec, prob):
+    from calibr8_tpu.opt.objective import ActiveParams, AdjointObjective, FEMUObjective
+    from calibr8_tpu.solve.adjoint import Adjoint
+    from calibr8_tpu.solve.linear import LinearCfg
+
+    inverse = spec.inverse
+    active = ActiveParams.from_inverse_spec(
+        inverse, prob.disc.elem_set_names, prob.model.param_names
+    )
+    obj_type = inverse.get("objective type", "pdeco")
+    if obj_type in ("pdeco", "adjoint"):
+        adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, LinearCfg())
+        obj = AdjointObjective(prob, adj, active)
+    elif obj_type == "FEMU":
+        obj = FEMUObjective(prob, active)
+    elif obj_type in ("VFM", "FD_VFM", "FS_VFM", "Adjoint_VFM"):
+        from calibr8_tpu.opt.vfm_objective import build_vfm_objective
+
+        obj, active = build_vfm_objective(
+            prob, inverse, spec.sub("virtual fields")
+        )
+    else:
+        raise ValueError(f"unknown objective type {obj_type!r}")
+    return obj, active
+
+
+def cmd_inverse(args):
+    from calibr8_tpu.opt.drivers import run_inverse
+    from calibr8_tpu.opt.objective import fd_gradient_check
+
+    spec, prob = _load_problem(args.deck)
+    obj, active = _build_objective(spec, prob)
+    inverse = spec.inverse
+    x0 = active.to_canonical(active.extract(prob.params0))
+
+    if inverse.get("check gradient", False):
+        g = obj.gradient(x0)
+        drop, errs = fd_gradient_check(obj.value, g, x0)
+        print(f"gradient check: log10 error drop = {drop:.10f}")
+        reg = spec.regression
+        if "log10 drop expected" in reg:
+            expected = float(reg["log10 drop expected"])
+            tol = float(reg.get("log10 drop tolerance", 1e-1))
+            ok = abs(drop - expected) < tol
+            print("------ regression summary -----")
+            print(f"drop computed: {drop:.10f}  expected: {expected:.10f}")
+            print(" PASS" if ok else " FAIL")
+            if not ok:
+                sys.exit(1)
+        if int(inverse.get("iteration limit", 0)) == 0:
+            return 0
+
+    res = run_inverse(
+        obj,
+        active,
+        x0=x0,
+        method="trust-constr" if args.trust_region else "L-BFGS-B",
+        gtol=float(inverse.get("gradient tolerance", 1e-8)),
+        max_iters=int(inverse.get("iteration limit", 150)),
+        out_file=args.out or "calibrated_params.txt",
+        use_gradient=hasattr(obj, "gradient"),
+    )
+    print(f"optimization done: J = {res.J:.6e}, evals = {res.n_evals}")
+    for name, val in zip(res.names, res.params):
+        print(f"  {name}: {val:.12e}")
+    return 0
+
+
+def cmd_objective(args):
+    spec, prob = _load_problem(args.deck)
+    obj, active = _build_objective(spec, prob)
+    x0 = active.to_canonical(active.extract(prob.params0))
+    if hasattr(obj, "value_and_gradient"):
+        J, g = obj.value_and_gradient(x0)
+    else:
+        J, g = obj.value(x0), obj.gradient(x0)
+    with open("objective.dat", "w") as f:
+        f.write(f"{J:.17e}\n")
+    with open("gradient.dat", "w") as f:
+        f.write(" ".join(f"{v:.17e}" for v in np.asarray(g)) + "\n")
+    print(f"objective: {J:.16e}")
+    return 0
+
+
+def cmd_verify(args):
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.error.verify import verify
+
+    spec = load_deck(args.deck)
+    res = verify(spec)
+    print(f"J^H: {res.J_H:.16e}")
+    print(f"J^h: {res.J_h:.16e}")
+    print(f"eta_R ~ {res.eta_R:.16e}")
+    print(f"eta_C ~ {res.eta_C:.16e}")
+    print(f"eta ~ {res.eta:.16e}")
+    print(f"|eta| < {res.eta_bound:.16e}")
+    print(f"E_exact: {res.E_exact:.16e}")
+    print(f"I: {res.eta / res.E_exact:.16e}")
+    print(f"E_lin_R: {res.E_lin_R:.16e}")
+    print(f"E_lin_C: {res.E_lin_C:.16e}")
+    print(f"E_computed / E_exact: {res.effectivity:.16e}")
+    if spec.sub("problem").get("do regression", False):
+        ok = abs(res.effectivity - 1.0) < 1e-8
+        print("------ regression summary -----")
+        print(" PASS" if ok else " FAIL")
+        print("-------------------------------")
+        if not ok:
+            sys.exit(1)
+    return 0
+
+
+def cmd_error(args):
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.error.verify import verify
+
+    spec = load_deck(args.deck)
+    res = verify(spec)
+    out = {
+        "eta": res.eta,
+        "eta_bound": res.eta_bound,
+        "J_H": res.J_H,
+        "elem_error_abs_max": float(np.max(np.abs(res.elem_error))),
+    }
+    print(json.dumps(out))
+    if args.error_out:
+        np.save(args.error_out, res.elem_error)
+    return 0
+
+
+def cmd_perturb(args):
+    from calibr8_tpu.io import synthetic as syn
+    from calibr8_tpu.mesh.mesh import Mesh
+
+    data = dict(np.load(args.fields))
+    rng = np.random.default_rng(args.seed)
+    for k in data:
+        if k.startswith("measured_") and not k.endswith("_0"):
+            data[k] = data[k] + args.sigma * rng.standard_normal(data[k].shape)
+    np.savez_compressed(args.out, **data)
+    print(f"perturbed fields written: {args.out}")
+    return 0
+
+
+def cmd_mls(args):
+    from calibr8_tpu.io.mls import mls_filter_npz
+
+    mls_filter_npz(args.fields, args.coords, args.out, radius=args.radius, order=args.order)
+    print(f"MLS-filtered fields written: {args.out}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="calibr8_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("primal")
+    sp.add_argument("deck")
+    sp.add_argument("--vtk", help="write VTK/PVD output to this basename")
+    sp.set_defaults(fn=cmd_primal)
+
+    sp = sub.add_parser("inverse")
+    sp.add_argument("deck")
+    sp.add_argument("--trust_region", action="store_true")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_inverse)
+
+    sp = sub.add_parser("objective")
+    sp.add_argument("deck")
+    sp.set_defaults(fn=cmd_objective)
+
+    sp = sub.add_parser("verify")
+    sp.add_argument("deck")
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("error")
+    sp.add_argument("deck")
+    sp.add_argument("--error-out")
+    sp.set_defaults(fn=cmd_error)
+
+    sp = sub.add_parser("perturb")
+    sp.add_argument("fields")
+    sp.add_argument("--sigma", type=float, default=1e-5)
+    sp.add_argument("--seed", type=int, default=22)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_perturb)
+
+    sp = sub.add_parser("mls")
+    sp.add_argument("fields")
+    sp.add_argument("--coords", required=True)
+    sp.add_argument("--radius", type=float, default=0.1)
+    sp.add_argument("--order", type=int, default=2)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_mls)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

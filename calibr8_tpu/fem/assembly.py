@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from calibr8_tpu.mechanics.global_residual import MechanicsSpec, elem_kinematics, make_elem_residual
 from calibr8_tpu.models.newton import make_local_solver
-from calibr8_tpu.utils.smallsolve import gauss_solve
+from calibr8_tpu.utils.smallsolve import gauss_solve, gauss_solve_T
 
 
 class Assembler:
@@ -70,10 +70,25 @@ class Assembler:
         """Solve C = 0 at every integration point.
 
         Returns LocalSolveResult with fields batched over elements.
+        The vmap runs with the element axis minor-most (TPU lanes).
         """
+        from calibr8_tpu.models.base import Kinematics
+        from calibr8_tpu.models.newton import LocalSolveResult
+
         kin = self.kinematics(x, x_prev)
         pars = self.params_per_elem(params_all)
-        return jax.vmap(self._local_solve)(xi_prev, kin, pars)
+        kin_T = Kinematics(
+            grad_u=jnp.moveaxis(kin.grad_u, 0, -1),
+            grad_u_prev=jnp.moveaxis(kin.grad_u_prev, 0, -1),
+        )
+        res = jax.vmap(
+            self._local_solve,
+            in_axes=(-1, Kinematics(-1, -1), -1),
+            out_axes=LocalSolveResult(-1, -1, -1, -1),
+        )(xi_prev.T, kin_T, pars.T)
+        return LocalSolveResult(
+            xi=res.xi.T, path=res.path, failed=res.failed, iters=res.iters
+        )
 
     # -- residual ------------------------------------------------------
     def residual_elems(self, x, x_prev, xi, params_all):
@@ -105,39 +120,75 @@ class Assembler:
         pars = self.params_per_elem(params_all)
         model, spec = self.model, self.spec
 
+        nxi = self.nxi
+        nde = self.spec.ndofs_elem
+
+        # TPU layout note: the many-seed tangent passes of the fused
+        # Jacobian are ~20x faster when the ELEMENT axis is the
+        # minor-most (lane) axis, so the per-element closure is vmapped
+        # with in_axes/out_axes = -1 over transposed element arrays.
         def one(x_e_, xp_e_, xi_, xip_, path_, gN, dJ, h, par):
             geom = (gN, dJ, h)
 
-            def C(xi__, xe__):
+            if not model.needs_local_newton():
+
+                def R(xe__):
+                    return self.elem_res(xe__, xp_e_, xi_, geom, par)
+
+                R0, Rlin = jax.linearize(R, x_e_)
+                J = jax.vmap(Rlin, in_axes=1, out_axes=1)(
+                    jnp.eye(nde, dtype=x_e_.dtype)
+                )
+                return R0, J
+
+            # ONE fused linearization over v = [xi, x_e] of G = [C, R]
+            # yields all four blocks (dC/dxi, dC/dx, dR/dxi, dR/dx) with
+            # a single primal evaluation and nxi+nde tangent passes —
+            # the moral minimum for the static condensation
+            # (evaluations.cpp:86-132 re-evaluates with 2 seedings).
+            def G(v):
+                xi__ = v[:nxi]
+                xe__ = v[nxi:]
                 kin = elem_kinematics(spec, xe__, xp_e_, gN)
-                return model.residual(xi__, xip_, kin, par, path_)
+                C = model.residual(xi__, xip_, kin, par, path_)
+                R = self.elem_res(xe__, xp_e_, xi__, geom, par)
+                return jnp.concatenate([C, R])
 
-            def R(xe__, xi__):
-                return self.elem_res(xe__, xp_e_, xi__, geom, par)
+            v0 = jnp.concatenate([xi_, x_e_])
+            G0, JG = jax.linearize(G, v0)
+            JG = jax.vmap(JG, in_axes=1, out_axes=1)(
+                jnp.eye(nxi + nde, dtype=v0.dtype)
+            )
+            return G0, JG
 
-            R0 = R(x_e_, xi_)
-            dR_dx = jax.jacfwd(R, argnums=0)(x_e_, xi_)
-            if model.needs_local_newton():
-                dC_dxi = jax.jacfwd(C, argnums=0)(xi_, x_e_)
-                dC_dx = jax.jacfwd(C, argnums=1)(xi_, x_e_)
-                dxi_dx = -gauss_solve(dC_dxi, dC_dx)
-                dR_dxi = jax.jacfwd(R, argnums=1)(x_e_, xi_)
-                J = dR_dx + dR_dxi @ dxi_dx
-            else:
-                J = dR_dx
-            return R0, J
-
-        R_e, J_e = jax.vmap(one)(
-            x_e,
-            xp_e,
-            xi,
-            xi_prev,
+        G0_T, JG_T = jax.vmap(one, in_axes=(-1, -1, -1, -1, 0, -1, 0, 0, -1), out_axes=(-1, -1))(
+            x_e.T,
+            xp_e.T,
+            xi.T,
+            xi_prev.T,
             path,
-            self.disc.grad_N,
+            jnp.moveaxis(self.disc.grad_N, 0, -1),
             self.disc.detJ,
             self.disc.h,
-            pars,
+            pars.T,
         )
+
+        if not model.needs_local_newton():
+            R_e = G0_T.T
+            J_e = jnp.moveaxis(JG_T, -1, 0)
+        else:
+            # static condensation entirely in trailing layout (the full
+            # (nxi+nde)^2-per-element JG never gets relayouted):
+            # J = dR/dx - dR/dxi (dC/dxi)^{-1} dC/dx
+            dC_dxi_T = JG_T[:nxi, :nxi]
+            dC_dx_T = JG_T[:nxi, nxi:]
+            dR_dxi_T = JG_T[nxi:, :nxi]
+            dR_dx_T = JG_T[nxi:, nxi:]
+            R_e = G0_T[nxi:, :].T
+            dxi_dx_T = -gauss_solve_T(dC_dxi_T, dC_dx_T)
+            J_T = dR_dx_T + jnp.einsum("ike,kje->ije", dR_dxi_T, dxi_dx_T)
+            J_e = jnp.moveaxis(J_T, -1, 0)
+
         R = self.disc.scatter_elem(R_e)
         diag = self.disc.scatter_elem(jnp.diagonal(J_e, axis1=1, axis2=2))
         return R, J_e, diag

@@ -71,7 +71,13 @@ def make_local_solver(model, max_iters: int, abs_tol: float, rel_tol: float):
         def resid(xi, path):
             return model.residual(xi, xi_prev, kin, params, path)
 
-        jac = jax.jacfwd(resid, argnums=0)
+        def jac(xi, path):
+            # linearize + unit tangents: one primal evaluation and nxi
+            # cheap tangent passes (TPU-friendly vs jacfwd's batching)
+            _, lin = jax.linearize(lambda z: resid(z, path), xi)
+            return jax.vmap(lin, in_axes=1, out_axes=1)(
+                jnp.eye(nxi, dtype=xi.dtype)
+            )
 
         # Hosford/Barlat-style solves (reference: small_hosford.cpp /
         # hypo_hosford.cpp / hypo_barlat.cpp solve_nonlinear) select the
