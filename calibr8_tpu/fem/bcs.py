@@ -37,6 +37,18 @@ class DirichletSpec:
 
 
 @dataclass
+class FieldDirichletSpec:
+    """Measured-data (field-based) DBC: the prescribed value comes from
+    the nodal field `<prefix>_<step>` (reference: dbcs.cpp
+    apply_field_primal_dbcs, 'field' sublist; prefix 'measured')."""
+
+    resid_idx: int
+    eq: int
+    node_set: str
+    prefix: str = "measured"
+
+
+@dataclass
 class TractionSpec:
     resid_idx: int
     side_set: str
@@ -44,9 +56,10 @@ class TractionSpec:
 
 
 class DirichletBCs:
-    def __init__(self, disc, specs: list[DirichletSpec]):
+    def __init__(self, disc, specs: list[DirichletSpec], field_specs=None):
         self.disc = disc
         self.specs = specs
+        self.field_specs = field_specs or []
         mesh = disc.mesh
         self._entries = []
         for s in specs:
@@ -54,13 +67,21 @@ class DirichletBCs:
             dofs = disc.dof(s.resid_idx, nodes, s.eq)
             coords = mesh.coords[nodes]
             self._entries.append((dofs, coords, Expression(s.value)))
-        if self._entries:
-            self.dofs = np.concatenate([e[0] for e in self._entries])
-        else:
-            self.dofs = np.zeros(0, dtype=np.int64)
+        self._field_entries = []
+        for s in self.field_specs:
+            nodes = np.asarray(mesh.node_sets[s.node_set])
+            dofs = disc.dof(s.resid_idx, nodes, s.eq)
+            self._field_entries.append((dofs, nodes, s.eq, s.prefix))
+        all_dofs = [e[0] for e in self._entries] + [
+            e[0] for e in self._field_entries
+        ]
+        self.dofs = (
+            np.concatenate(all_dofs) if all_dofs else np.zeros(0, dtype=np.int64)
+        )
 
-    def values(self, t: float) -> np.ndarray:
-        """Prescribed values g(t) aligned with self.dofs."""
+    def values(self, t: float, step: int = 0) -> np.ndarray:
+        """Prescribed values aligned with self.dofs (expression entries
+        evaluated at time t; field entries read measured_<step>)."""
         out = []
         for dofs, coords, expr in self._entries:
             x = coords[:, 0]
@@ -68,14 +89,18 @@ class DirichletBCs:
             z = coords[:, 2] if coords.shape[1] > 2 else np.zeros_like(x)
             v = expr(x=x, y=y, z=z, t=t)
             out.append(np.broadcast_to(np.asarray(v, dtype=np.float64), x.shape))
+        for dofs, nodes, eq, prefix in self._field_entries:
+            field = self.disc.mesh.fields.get(f"{prefix}_{step}")
+            assert field is not None, f"{prefix}_{step} field missing for field DBC"
+            out.append(np.asarray(field)[nodes, eq])
         return (
             np.concatenate(out) if out else np.zeros(0, dtype=np.float64)
         )
 
-    def arrays(self, t: float):
+    def arrays(self, t: float, step: int = 0):
         return (
             jnp.asarray(self.dofs, jnp.int32),
-            jnp.asarray(self.values(t), self.disc.dtype),
+            jnp.asarray(self.values(t, step), self.disc.dtype),
         )
 
 

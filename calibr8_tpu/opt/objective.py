@@ -133,6 +133,34 @@ class AdjointObjective:
         return self.value(x_canonical), self.gradient(x_canonical)
 
 
+class MultiProblemObjective:
+    """Sum of objectives over independent problems (multi-experiment
+    calibration — reference: objective.hpp:41-45, adjoint_objective.cpp
+    loops problems; test/adjoint/2prob.yaml.in).  All child objectives
+    share one ActiveParams (same canonical coordinates)."""
+
+    def __init__(self, objectives, active: "ActiveParams"):
+        self.objectives = list(objectives)
+        self.active = active
+
+    def value(self, x_canonical) -> float:
+        return sum(o.value(x_canonical) for o in self.objectives)
+
+    def gradient(self, x_canonical) -> np.ndarray:
+        g = np.zeros(self.active.n)
+        for o in self.objectives:
+            g = g + np.asarray(o.gradient(x_canonical))
+        return g
+
+    def value_and_gradient(self, x_canonical):
+        J, g = 0.0, np.zeros(self.active.n)
+        for o in self.objectives:
+            Ji, gi = o.value_and_gradient(x_canonical)
+            J += Ji
+            g = g + np.asarray(gi)
+        return J, g
+
+
 class FEMUObjective:
     """Value-only objective; the optimizer finite-differences gradients
     (reference: femu_objective.cpp:13-37)."""

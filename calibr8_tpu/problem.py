@@ -15,7 +15,7 @@ import numpy as np
 
 from calibr8_tpu.deck import ProblemSpec, load_deck
 from calibr8_tpu.fem.assembly import Assembler
-from calibr8_tpu.fem.bcs import DirichletBCs, DirichletSpec, TractionBCs, TractionSpec
+from calibr8_tpu.fem.bcs import DirichletBCs, DirichletSpec, FieldDirichletSpec, TractionBCs, TractionSpec
 from calibr8_tpu.fem.disc import Disc
 from calibr8_tpu.mechanics.global_residual import MechanicsSpec
 from calibr8_tpu.mesh import generators
@@ -121,6 +121,7 @@ class Problem:
         self.dbcs = DirichletBCs(
             self.disc,
             [DirichletSpec(*e) for e in spec.dirichlet_expression],
+            field_specs=[FieldDirichletSpec(*e) for e in spec.dirichlet_field],
         )
         tr = spec.tractions
         self.tbcs = TractionBCs(

@@ -191,7 +191,7 @@ class Adjoint:
         for step in range(n, 0, -1):
             t = time_grid.time(step)
             if bc_dofs is None:
-                bcd, _ = self.dbcs.arrays(t)
+                bcd, _ = self.dbcs.arrays(t, step)
             else:
                 bcd = bc_dofs
             aux = (

@@ -82,7 +82,7 @@ class Primal:
         traj = Trajectory(x=[x], xi=[xi], path=[path], qoi_values=[])
         for step in range(1, tg.num_steps + 1):
             t = tg.time(step)
-            bc_dofs, bc_vals = self.dbcs.arrays(t)
+            bc_dofs, bc_vals = self.dbcs.arrays(t, step)
             ext = (
                 self.tbcs.array(t)
                 if self.tbcs is not None

@@ -126,14 +126,14 @@ class VirtualPower:
         )
         return loc, B
 
-    def _step_value_impl(self, x, x_prev, xi_prev, params_all):
+    def _step_value_impl(self, x, x_prev, xi_prev, params_all, vf):
         a = self.assembler
         loc = a.local_solve(x, x_prev, xi_prev, params_all)
         R = a.residual(x, x_prev, loc.xi, params_all)
-        P = jnp.dot(self.vf, R)
-        return loc.xi, loc.path, jnp.sum(loc.failed), P
+        P = vf @ R if vf.ndim == 1 else vf @ R  # (n_vf, n_dofs) @ (n_dofs,)
+        return loc.xi, loc.path, jnp.sum(loc.failed), P, R
 
-    def _step_sens_impl(self, x, x_prev, xi_prev, params_all, dxi_dp_prev):
+    def _step_sens_impl(self, x, x_prev, xi_prev, params_all, dxi_dp_prev, vf):
         """Forward-sensitivity step (evaluations.cpp:1847-1974)."""
         disc = self.disc
         loc, B = self._local_and_blocks(x, x_prev, xi_prev, params_all, None)
@@ -141,14 +141,14 @@ class VirtualPower:
         dxi_dp = gauss_solve(B["dC_dxi"], rhs)
         dR_dp_tot = jnp.einsum("eni,eip->enp", B["dR_dxi"], dxi_dp) + B["dR_dp"]
         R = disc.scatter_elem(B["R"])
-        P = jnp.dot(self.vf, R)
-        vf_e = disc.gather_elem(self.vf)
+        P = jnp.dot(vf, R)
+        vf_e = disc.gather_elem(vf)
         dP_dp_e = jnp.einsum("en,enp->ep", vf_e, dR_dp_tot)
         n_sets = params_all.shape[0]
         dP_dp = jax.ops.segment_sum(dP_dp_e, disc.es_ids, num_segments=n_sets)
         return loc.xi, loc.path, dxi_dp, P, dP_dp
 
-    def _step_adj_impl(self, x, x_prev, xi, xi_prev, path, params_all, c, h):
+    def _step_adj_impl(self, x, x_prev, xi, xi_prev, path, params_all, c, h, vf):
         """Adjoint step at recorded (xi, path) — evaluations.cpp:1975-2145."""
         a = self.assembler
         disc, model, spec = self.disc, a.model, a.spec
@@ -178,7 +178,7 @@ class VirtualPower:
             x_e, xp_e, xi, xi_prev, path,
             disc.grad_N, disc.detJ, disc.h, pars,
         )
-        vf_e = disc.gather_elem(self.vf)
+        vf_e = disc.gather_elem(vf)
         rhs = -c * jnp.einsum("eni,en->ei", dR_dxi, vf_e) - h
         phi = gauss_solve(dC_dxi.swapaxes(-1, -2), rhs)
         h_next = jnp.einsum("eij,ei->ej", dC_dxiprev, phi)
@@ -199,21 +199,31 @@ class VirtualPower:
         path0 = jnp.zeros(self.disc.n_elem, jnp.int32)
         return xi0, path0
 
-    def powers(self, params_all):
-        """P_int at every step; also returns the (xi, path) trajectory."""
+    def powers(self, params_all, vf=None, collect_residuals=False):
+        """P_int at every step; also returns the (xi, path) trajectory.
+
+        vf may be a (n_dofs,) field or a stacked (n_vf, n_dofs) matrix
+        (the EUCLID multi-virtual-field case, main_objective.cpp:409-509).
+        """
+        vf = self.vf if vf is None else vf
         xi, _ = self.initial_xi()
-        xis, paths, Ps = [xi], [], []
+        xis, paths, Ps, Rs = [xi], [], [], []
         n = self.problem.time_grid.num_steps
         for step in range(1, n + 1):
-            xi, path, nfail, P = self._step_value(
-                self._measured[step], self._measured[step - 1], xi, params_all
+            xi, path, nfail, P, R = self._step_value(
+                self._measured[step], self._measured[step - 1], xi, params_all, vf
             )
             xis.append(xi)
             paths.append(path)
-            Ps.append(float(P))
+            Ps.append(np.asarray(P) if P.ndim else float(P))
+            if collect_residuals:
+                Rs.append(R)
+        if collect_residuals:
+            return Ps, xis, paths, Rs
         return Ps, xis, paths
 
-    def powers_and_sens(self, params_all):
+    def powers_and_sens(self, params_all, vf=None):
+        vf = self.vf if vf is None else vf
         xi, _ = self.initial_xi()
         nde = self.disc.edofs.shape[1]
         dxi_dp = jnp.zeros(
@@ -233,13 +243,15 @@ class VirtualPower:
                 xi,
                 params_all,
                 dxi_dp,
+                vf,
             )
             Ps.append(float(P))
             grads.append(dP)
         return Ps, grads
 
-    def adjoint_gradient(self, params_all, cs, xis, paths):
+    def adjoint_gradient(self, params_all, cs, xis, paths, vf=None):
         """Backward sweep; cs[step-1] = obj_scale*dt/T*mismatch."""
+        vf = self.vf if vf is None else vf
         h = jnp.zeros(
             (self.disc.n_elem, self.assembler.nxi), self.disc.dtype
         )
@@ -255,6 +267,7 @@ class VirtualPower:
                 params_all,
                 jnp.asarray(cs[step - 1], self.disc.dtype),
                 h,
+                vf,
             )
             grad = grad + g
         return grad
