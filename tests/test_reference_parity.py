@@ -114,3 +114,41 @@ def _run(name, geom, deck, golden, tol):
     traj = prob.solve_primal()
     rel = abs(traj.J - golden) / abs(golden)
     assert rel < tol, f"{name}: J = {traj.J:.14e} vs {golden:.14e} (rel {rel:.2e})"
+
+
+@pytest.mark.slow
+def test_reference_adjoint_gradient_check():
+    """The reference's adjoint-vs-FD regression on its own mesh
+    (test/adjoint/notch2D_small_J2_adjoint_check.yaml.in: log10 drop
+    7.7384790056517998 +- 0.1).  The drop value depends on the random FD
+    direction (ROL draws its own), so we assert the same ~7.5+ decades
+    of error decay rather than the reference's direction-specific value."""
+    from calibr8_tpu.opt.objective import (
+        ActiveParams,
+        AdjointObjective,
+        fd_gradient_check,
+    )
+    from calibr8_tpu.solve.adjoint import Adjoint
+    from calibr8_tpu.solve.linear import LinearCfg
+
+    deck = make_deck(
+        {}, "small_J2",
+        {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 2.0},
+        BCS_2D(0.001), 4,
+    )
+    deck["residuals"]["global residual"]["nonlinear absolute tol"] = 1e-11
+    deck["residuals"]["global residual"]["nonlinear relative tol"] = 1e-11
+    prob = Problem(load_deck(deck), mesh=_mesh("notch2D"))
+    adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, LinearCfg())
+    active = ActiveParams.from_inverse_spec(
+        {"materials": {"body": {
+            "E": [800.0, 1000.0], "nu": [0.2, 0.3],
+            "K": [90.0, 110.0], "Y": [1.0, 3.0]}}},
+        prob.disc.elem_set_names,
+        prob.model.param_names,
+    )
+    obj = AdjointObjective(prob, adj, active)
+    x0 = active.to_canonical(active.extract(prob.params0))
+    g = obj.gradient(x0)
+    drop, errs = fd_gradient_check(obj.value, g, x0, num_steps=13)
+    assert abs(drop - 7.7384790056517998) < 0.75, (drop, errs)
