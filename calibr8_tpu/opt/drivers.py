@@ -82,6 +82,8 @@ def run_inverse(
     failure_mode="penalty_inward",
     out_file=None,
     use_gradient=True,
+    checkpoint_path=None,
+    resume=False,
 ):
     """Minimize over the canonical box; returns InverseResult and
     optionally writes the `name: value` file consumed by
@@ -90,8 +92,25 @@ def run_inverse(
     n = active.n
     if x0 is None:
         x0 = np.zeros(n)
+    if resume and checkpoint_path:
+        from calibr8_tpu.opt.checkpoint import load_checkpoint
+        import os
+
+        if os.path.exists(checkpoint_path):
+            x0, _, _ = load_checkpoint(checkpoint_path)
     wrapper = _EvalWrapper(objective, failure_mode)
     bounds = [(-1.0, 1.0)] * n
+
+    callback = None
+    if checkpoint_path:
+        from calibr8_tpu.opt.checkpoint import save_checkpoint
+
+        def callback(xk, *unused):
+            save_checkpoint(
+                checkpoint_path, np.asarray(xk), wrapper.history,
+                meta={"names": active.names},
+            )
+
 
     if use_gradient and hasattr(objective, "gradient"):
         fun = wrapper.value_and_grad
@@ -103,16 +122,25 @@ def run_inverse(
     if method == "L-BFGS-B":
         res = optimize.minimize(
             fun, x0, jac=jac, method="L-BFGS-B", bounds=bounds,
+            callback=callback,
             options={"maxiter": max_iters, "gtol": gtol, "ftol": 1e-14},
         )
     elif method in ("trust-constr", "trust_region"):
         res = optimize.minimize(
             fun, x0, jac=jac, method="trust-constr", bounds=bounds,
+            callback=callback,
             options={"maxiter": max_iters, "gtol": gtol, "xtol": 1e-14},
         )
     else:
         raise ValueError(f"unknown optimizer {method!r}")
 
+    if checkpoint_path:
+        from calibr8_tpu.opt.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_path, np.asarray(res.x), wrapper.history,
+            meta={"names": active.names, "final": True},
+        )
     params = active.from_canonical(res.x)
     if out_file:
         with open(out_file, "w") as f:

@@ -137,7 +137,14 @@ class Problem:
         if self.qoi is not None and hasattr(self.qoi, "assembler"):
             self.qoi.assembler = self.assembler
 
-        self.time_grid = TimeGrid.uniform(spec.num_steps, spec.step_size)
+        # explicit times from a 'time file' (one time per line, step 0
+        # included — reference: disc.cpp:24-26, 136-140), else uniform
+        tf = spec.disc.get("time file")
+        if tf:
+            times = np.asarray([float(l) for l in open(tf) if l.strip()])
+            self.time_grid = TimeGrid(times=times)
+        else:
+            self.time_grid = TimeGrid.uniform(spec.num_steps, spec.step_size)
 
         self.primal = Primal(
             self.disc,
