@@ -45,7 +45,13 @@ def build_mesh(spec: ProblemSpec, mesh=None):
         from calibr8_tpu.mesh.gmsh import read_msh
 
         return read_msh(mesh_file, assoc_file=d.get("assoc file"))
-    raise ValueError("discretization must provide 'builtin mesh' or a .msh 'mesh file'")
+    if mesh_file and str(mesh_file).endswith(".smb"):
+        from calibr8_tpu.mesh.smb import read_smb
+
+        return read_smb(mesh_file, assoc_file=d.get("assoc file"))
+    raise ValueError(
+        "discretization must provide 'builtin mesh' or a .msh/.smb 'mesh file'"
+    )
 
 
 class Problem:
@@ -71,6 +77,9 @@ class Problem:
             thickness=float(gr.get("thickness", 1.0)),
         )
         self.disc = Disc(self.mesh, self.mech_spec, dtype=dtype)
+        # the Disc holds the (element-set-sorted) canonical mesh; expose
+        # it so field attachment after construction is seen by QoIs/BCs
+        self.mesh = self.disc.mesh
 
         # material parameters per elem set, model order; models with
         # embedded networks provide default (initial) weight values
