@@ -191,6 +191,19 @@ def cmd_verify(args):
     return 0
 
 
+def cmd_spr_error(args):
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.error.spr import spr_error_estimate
+
+    spec = load_deck(args.deck)
+    res = spr_error_estimate(spec)
+    print(f"J^H: {res.J_H:.16e}")
+    print(f"total estimate ~ {res.eta:.15e}")
+    if args.error_out:
+        np.save(args.error_out, res.elem_error)
+    return 0
+
+
 def cmd_error(args):
     from calibr8_tpu.deck import load_deck
     from calibr8_tpu.error.verify import verify
@@ -258,6 +271,11 @@ def main(argv=None):
     sp.add_argument("deck")
     sp.add_argument("--error-out")
     sp.set_defaults(fn=cmd_error)
+
+    sp = sub.add_parser("spr_error")
+    sp.add_argument("deck")
+    sp.add_argument("--error-out")
+    sp.set_defaults(fn=cmd_spr_error)
 
     sp = sub.add_parser("perturb")
     sp.add_argument("fields")
