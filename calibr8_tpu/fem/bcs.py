@@ -75,9 +75,19 @@ class DirichletBCs:
         all_dofs = [e[0] for e in self._entries] + [
             e[0] for e in self._field_entries
         ]
-        self.dofs = (
+        dofs = (
             np.concatenate(all_dofs) if all_dofs else np.zeros(0, dtype=np.int64)
         )
+        # de-duplicate (a corner node can appear in two bc sets); keep
+        # the LAST occurrence, matching the reference's sequential
+        # application order (dbcs.cpp loops entries in deck order).
+        # Unique indices also keep the scatter ops transposable for
+        # custom_linear_solve-based Krylov methods.
+        rev_first = np.unique(dofs[::-1], return_index=True)[1]
+        keep_rev = np.zeros(dofs.size, dtype=bool)
+        keep_rev[rev_first] = True
+        self._keep = keep_rev[::-1].copy()
+        self.dofs = dofs[self._keep]
 
     def values(self, t: float, step: int = 0) -> np.ndarray:
         """Prescribed values aligned with self.dofs (expression entries
@@ -93,9 +103,8 @@ class DirichletBCs:
             field = self.disc.mesh.fields.get(f"{prefix}_{step}")
             assert field is not None, f"{prefix}_{step} field missing for field DBC"
             out.append(np.asarray(field)[nodes, eq])
-        return (
-            np.concatenate(out) if out else np.zeros(0, dtype=np.float64)
-        )
+        vals = np.concatenate(out) if out else np.zeros(0, dtype=np.float64)
+        return vals[self._keep] if vals.size else vals
 
     def arrays(self, t: float, step: int = 0):
         return (
@@ -106,12 +115,14 @@ class DirichletBCs:
 
 def apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals):
     """R_row <- diag * (x_row - g)  (dbcs.cpp:100-101)."""
-    return R.at[bc_dofs].set(diag[bc_dofs] * (x[bc_dofs] - bc_vals))
+    return R.at[bc_dofs].set(
+        diag[bc_dofs] * (x[bc_dofs] - bc_vals), unique_indices=True
+    )
 
 
 def apply_dbcs_matvec(Jv, diag, v, bc_dofs):
     """(J v)_row <- diag * v_row for constrained rows."""
-    return Jv.at[bc_dofs].set(diag[bc_dofs] * v[bc_dofs])
+    return Jv.at[bc_dofs].set(diag[bc_dofs] * v[bc_dofs], unique_indices=True)
 
 
 def apply_dbcs_dense(A, diag, bc_dofs):
@@ -122,7 +133,7 @@ def apply_dbcs_dense(A, diag, bc_dofs):
 
 def zero_dbc_rows(R, bc_dofs):
     """Adjoint variant: rows zeroed (dbcs.cpp:102-104)."""
-    return R.at[bc_dofs].set(0.0)
+    return R.at[bc_dofs].set(0.0, unique_indices=True)
 
 
 class TractionBCs:

@@ -34,6 +34,10 @@ class LinearCfg:
     max_iters: int = 200
     restart: int = 200
     dense_cutoff: int = 6000
+    # 'block_gs' = u/p block Gauss-Seidel with node-block Jacobi (the
+    # Teko BGS2x2 + relaxation analog, linear_solve.cpp:36-123) or
+    # 'jacobi' point scaling
+    preconditioner: str = "block_gs"
 
 
 def solve(
@@ -71,10 +75,15 @@ def solve(
         out = ebe_matvec_disc(op_e, disc, v)
         return apply_dbcs_matvec(out, diag, v, bc_dofs)
 
-    safe_diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+    if cfg.preconditioner == "block_gs":
+        from calibr8_tpu.solve.precond import BlockJacobiGS
 
-    def M(v):
-        return v / safe_diag
+        M = BlockJacobiGS(disc, op_e, diag, bc_dofs)
+    else:
+        safe_diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+
+        def M(v):
+            return v / safe_diag
 
     if method == "cg":
         x, _ = jax.scipy.sparse.linalg.cg(

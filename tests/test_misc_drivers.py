@@ -81,3 +81,22 @@ def test_time_file(tmp_path):
     u, _ = prob.disc.split(traj.x[-1])
     ymax = prob.disc.mesh.node_sets["ymax"]
     np.testing.assert_allclose(np.asarray(u)[ymax, 1], 0.002, atol=1e-12)
+
+
+def test_iterative_solver_matches_dense():
+    """EBE-GMRES with the block u/p Gauss-Seidel preconditioner (the
+    Teko BGS2x2 analog, linear_solve.cpp:36-123) reproduces the direct
+    solve."""
+    import jax.numpy as jnp
+
+    deck = make_deck({"type": "notch2D", "h": 0.12}, "small_J2", J2_MAT, BCS_2D(0.001), 2)
+    deck["linear algebra"] = {
+        "method": "gmres", "tolerance": 1e-10, "maximum iterations": 300,
+    }
+    prob = Problem(load_deck(deck))
+    traj_it = prob.solve_primal()
+    deck2 = {**deck, "linear algebra": {"method": "dense"}}
+    prob2 = Problem(load_deck(deck2))
+    traj_d = prob2.solve_primal()
+    err = float(jnp.max(jnp.abs(traj_it.x[-1] - traj_d.x[-1])))
+    assert err < 1e-9, err
