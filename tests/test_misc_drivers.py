@@ -100,3 +100,51 @@ def test_iterative_solver_matches_dense():
     traj_d = prob2.solve_primal()
     err = float(jnp.max(jnp.abs(traj_it.x[-1] - traj_d.x[-1])))
     assert err < 1e-9, err
+
+
+def test_normal_traction_qoi():
+    """n . sigma . n on the pulled face equals the applied traction
+    (normal_traction.cpp)."""
+    from tests.decks import CUBE, HYPER_ELASTIC_MAT
+
+    deck = make_deck(
+        CUBE, "hyper_J2", HYPER_ELASTIC_MAT,
+        {"expression": {
+            "bc 1": [0, 0, "xmin", "0.0"],
+            "bc 2": [0, 1, "ymin", "0.0"],
+            "bc 3": [0, 2, "zmin", "0.0"]}},
+        1,
+        **{"traction bcs": {"bc 1": [0, "ymax", "0.", "1.0 * t", "0."]},
+           "quantity of interest": {"type": "normal traction", "side set": "ymax"}},
+    )
+    prob = Problem(load_deck(deck))
+    traj = prob.solve_primal()
+    assert abs(traj.J - 1.0) < 5e-3
+
+
+def test_vectorize_and_indicator_fields():
+    from calibr8_tpu.io.fields_utils import add_node_set_fields, vectorize_fields
+    from calibr8_tpu.mesh.generators import square
+
+    data = {f"ux_{s}": np.full(5, s * 1.0) for s in range(3)}
+    data.update({f"uy_{s}": np.full(5, s * 2.0) for s in range(3)})
+    out = vectorize_fields(data, 2, comps=("ux", "uy"))
+    assert out["measured_2"].shape == (5, 2)
+    np.testing.assert_allclose(out["measured_2"][:, 1], 4.0)
+
+    mesh = square(3)
+    add_node_set_fields(mesh, ["xmin"])
+    f = mesh.fields["xmin"]
+    assert f.sum() == len(mesh.node_sets["xmin"])
+
+
+def test_transfer_surface_data():
+    from calibr8_tpu.io.fields_utils import transfer_surface_data
+
+    rng = np.random.default_rng(0)
+    src = rng.random((400, 2))
+    vals = 1.0 + src[:, 0] - 2.0 * src[:, 1]
+    tgt = rng.random((50, 2)) * 0.8 + 0.1
+    out = transfer_surface_data(src, {"measured_1": vals}, tgt, radius=0.2, order=1)
+    expect = 1.0 + tgt[:, 0] - 2.0 * tgt[:, 1]
+    np.testing.assert_allclose(out["measured_1"], expect, atol=1e-10)
