@@ -40,6 +40,7 @@ class Assembler:
         self.model = model
         self.spec = spec
         local_cfg = local_cfg or {}
+        self.local_cfg = local_cfg
         self.elem_res = make_elem_residual(model, spec)
         self._local_solve = make_local_solver(
             model,

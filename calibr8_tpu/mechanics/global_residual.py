@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from calibr8_tpu.fem import basis
-from calibr8_tpu.models.base import Kinematics, cofactor, compute_mu
+from calibr8_tpu.models.base import (
+    Kinematics,
+    cofactor,
+    compute_mu,
+    det_small,
+    mm_small,
+)
 
 PARENT_MEASURE = {2: 0.5, 3: 1.0 / 6.0}
 
@@ -93,16 +99,22 @@ def elem_kinematics(spec: MechanicsSpec, x_e, x_prev_e, grad_N) -> Kinematics:
     point; constant over the element for P1."""
     u, _ = spec.unpack(x_e)
     u_prev, _ = spec.unpack(x_prev_e)
-    gu = jnp.einsum("ni,nj->ij", u, grad_N)
-    gu_prev = jnp.einsum("ni,nj->ij", u_prev, grad_N)
+    # multiply+sum (not einsum/@): Mosaic cannot lower trailing-batch
+    # dot_generals when this is vmapped with the element axis last
+    gu = jnp.sum(u[:, :, None] * grad_N[:, None, :], axis=0)
+    gu_prev = jnp.sum(u_prev[:, :, None] * grad_N[:, None, :], axis=0)
     return Kinematics(grad_u=gu, grad_u_prev=gu_prev)
 
 
-def make_elem_residual(model, spec: MechanicsSpec):
+def make_elem_residual(model, spec: MechanicsSpec, tables=None):
     """Build the pure per-element residual function.
 
     Returns f(x_e, x_prev_e, xi, geom, params) -> R_e (ndofs_elem,)
     where geom = (grad_N (npe, d), detJ scalar, h scalar).
+
+    `tables` optionally supplies the (N0, N1, q1_wts) quadrature arrays
+    as traced values — required inside Pallas kernels, which reject
+    captured array constants (fem/pallas_assembly.py).
     """
     d = spec.dim
     npe = spec.npe
@@ -112,6 +124,8 @@ def make_elem_residual(model, spec: MechanicsSpec):
     N1 = basis.shape_values(d, q1_pts)  # (npts1, npe)
     # ip set 0 point (centroid): N = 1/npe
     N0 = np.full((npe,), 1.0 / npe)
+    if tables is not None:
+        N0, N1, q1_wts = tables
 
     def f(x_e, x_prev_e, xi, geom, params):
         grad_N, detJ, h = geom
@@ -121,30 +135,31 @@ def make_elem_residual(model, spec: MechanicsSpec):
         wdv0 = detJ * meas0  # w * dv at the single order-1 point
 
         if spec.mixed:
-            p_ip = jnp.asarray(N0, dtype) @ p_e
+            # multiply+sum instead of vector dots: Mosaic (Pallas TPU)
+            # cannot lower rank-1 dot_generals
+            p_ip = jnp.sum(jnp.asarray(N0).astype(dtype) * p_e)
         else:
             p_ip = jnp.zeros((), dtype)
 
         sigma = model.cauchy(xi, kin, params, p_ip)
         if spec.plane_stress:
-            # PK1 = z_stretch * J * sigma * F^{-T}
-            # (mechanics_plane_stress.cpp:66-84)
+            # PK1 = z_stretch * J * sigma * cof(F)/det(F) = zs*sigma*cofF
+            # since J * F^{-T} = cof(F) (mechanics_plane_stress.cpp:66-84)
             if model.finite_deformation:
-                F = kin.F
                 zs = xi[model.z_stretch_idx]
-                sigma = zs * jnp.linalg.det(F) * sigma @ jnp.linalg.inv(F).T
+                sigma = zs * mm_small(sigma, cofactor(kin.F))
             R_u = (
-                jnp.einsum("ij,nj->ni", sigma, grad_N)
+                jnp.sum(sigma[None, :, :] * grad_N[:, None, :], axis=2)
                 * wdv0
                 * spec.thickness
             )
             return R_u.reshape(-1)
 
         if model.finite_deformation:
-            sigma = sigma @ cofactor(kin.F)
+            sigma = mm_small(sigma, cofactor(kin.F))
 
         # momentum: R_u[n, i] = sigma[i, j] grad_N[n, j] wdv
-        R_u = jnp.einsum("ij,nj->ni", sigma, grad_N) * wdv0
+        R_u = jnp.sum(sigma[None, :, :] * grad_N[:, None, :], axis=2) * wdv0
 
         if not spec.mixed:
             return R_u.reshape(-1)
@@ -155,21 +170,26 @@ def make_elem_residual(model, spec: MechanicsSpec):
 
         # pressure, ip set 0: constant part + stabilization
         hydro = model.hydro_cauchy(xi, kin, params)
-        R_p = -(hydro / psf) * jnp.asarray(N0, dtype) * wdv0
+        R_p = -(hydro / psf) * jnp.asarray(N0).astype(dtype) * wdv0
 
-        grad_p = p_e @ grad_N  # (d,)
+        grad_p = jnp.sum(p_e[:, None] * grad_N, axis=0)  # (d,)
         tau = spec.stab_multiplier * 0.5 * h * h / mu
-        stab = tau * jnp.eye(d, dtype=dtype)
+        # no tau*eye: unbatched-constant broadcasts crash Mosaic
         if model.finite_deformation:
             cof = cofactor(kin.F)
-            stab = stab @ (cof.T @ cof) / jnp.linalg.det(kin.F)
-        R_p = R_p - jnp.einsum("ni,ij,j->n", grad_N, stab, grad_p) * wdv0
+            ctc = mm_small(cof.swapaxes(-1, -2), cof)
+            stab_gp = (tau / det_small(kin.F)) * jnp.sum(
+                ctc * grad_p[None, :], axis=1
+            )
+        else:
+            stab_gp = tau * grad_p  # (d,)
+        R_p = R_p - jnp.sum(grad_N * stab_gp[None, :], axis=1) * wdv0
 
         # pressure, ip set 1 (order 2): -(p / psf) N_n w dv
-        N1j = jnp.asarray(N1, dtype)
-        p_q = N1j @ p_e  # (npts1,)
-        w1 = jnp.asarray(q1_wts, dtype) * detJ
-        R_p = R_p - jnp.einsum("q,qn,q->n", p_q / psf, N1j, w1)
+        N1j = jnp.asarray(N1).astype(dtype)
+        p_q = jnp.sum(N1j * p_e[None, :], axis=1)  # (npts1,)
+        w1 = jnp.asarray(q1_wts).astype(dtype) * detJ
+        R_p = R_p - jnp.sum(((p_q / psf) * w1)[:, None] * N1j, axis=0)
 
         return spec.pack(R_u, R_p)
 

@@ -72,17 +72,35 @@ def trace(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.trace(a, axis1=-2, axis2=-1)
 
 
+def sub_diag(a: jnp.ndarray, s) -> jnp.ndarray:
+    """a - s * I built with explicit stacks: `s * jnp.eye(d)` makes
+    vmap broadcast an unbatched constant against batched operands,
+    which crashes Mosaic layout inference inside Pallas kernels."""
+    d = a.shape[-1]
+    if d == 2:
+        row0 = jnp.stack([a[..., 0, 0] - s, a[..., 0, 1]], axis=-1)
+        row1 = jnp.stack([a[..., 1, 0], a[..., 1, 1] - s], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)
+    row0 = jnp.stack([a[..., 0, 0] - s, a[..., 0, 1], a[..., 0, 2]], axis=-1)
+    row1 = jnp.stack([a[..., 1, 0], a[..., 1, 1] - s, a[..., 1, 2]], axis=-1)
+    row2 = jnp.stack([a[..., 2, 0], a[..., 2, 1], a[..., 2, 2] - s], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def add_diag(a: jnp.ndarray, s) -> jnp.ndarray:
+    return sub_diag(a, -s)
+
+
 def dev(a: jnp.ndarray) -> jnp.ndarray:
     d = a.shape[-1]
-    return a - (trace(a) / d) * jnp.eye(d, dtype=a.dtype)
+    return sub_diag(a, trace(a) / d)
 
 
 def dev3(a: jnp.ndarray) -> jnp.ndarray:
     """Deviator with the 3D trace factor even for 2D tensors — the
     reference's small-strain models always divide the trace by 3
     (e.g. small_J2.cpp dev_cauchy: eps - tr(eps)/3 * I in any dim)."""
-    d = a.shape[-1]
-    return a - (trace(a) / 3.0) * jnp.eye(d, dtype=a.dtype)
+    return sub_diag(a, trace(a) / 3.0)
 
 
 def norm(a: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +111,51 @@ def safe_norm(a: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
     """Norm guarded for differentiability at 0 (the unselected plastic
     branch may be evaluated at s = 0 under jnp.where)."""
     return jnp.sqrt(jnp.sum(a * a, axis=(-2, -1)) + eps)
+
+
+def det_small(F: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 2x2/3x3 determinant (jnp.linalg.det lowers to LU,
+    which Pallas/Mosaic cannot lower and which is slow per element)."""
+    d = F.shape[-1]
+    if d == 2:
+        return F[..., 0, 0] * F[..., 1, 1] - F[..., 0, 1] * F[..., 1, 0]
+    return (
+        F[..., 0, 0] * (F[..., 1, 1] * F[..., 2, 2] - F[..., 1, 2] * F[..., 2, 1])
+        - F[..., 0, 1] * (F[..., 1, 0] * F[..., 2, 2] - F[..., 1, 2] * F[..., 2, 0])
+        + F[..., 0, 2] * (F[..., 1, 0] * F[..., 2, 1] - F[..., 1, 1] * F[..., 2, 0])
+    )
+
+
+def inv_small(F: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 2x2/3x3 inverse via the adjugate."""
+    d = F.shape[-1]
+    det = det_small(F)
+    if d == 2:
+        row0 = jnp.stack([F[..., 1, 1], -F[..., 0, 1]], axis=-1)
+        row1 = jnp.stack([-F[..., 1, 0], F[..., 0, 0]], axis=-1)
+        adj = jnp.stack([row0, row1], axis=-2)
+        return adj / det[..., None, None]
+    c = cofactor3(F)
+    return c.swapaxes(-1, -2) / det[..., None, None]
+
+
+def mm_small(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Tiny (..., d, d) matmul as broadcast multiply+sum — Mosaic
+    (Pallas TPU) cannot lower the trailing-batch dot_generals that
+    vmap(@, out_axes=-1) produces."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def cofactor3(F: jnp.ndarray) -> jnp.ndarray:
+    def m(i1, j1, i2, j2):
+        return F[..., i1, j1] * F[..., i2, j2] - F[..., i1, j2] * F[..., i2, j1]
+
+    rows = [
+        jnp.stack([m(1, 1, 2, 2), -m(1, 0, 2, 2), m(1, 0, 2, 1)], axis=-1),
+        jnp.stack([-m(0, 1, 2, 2), m(0, 0, 2, 2), -m(0, 0, 2, 1)], axis=-1),
+        jnp.stack([m(0, 1, 1, 2), -m(0, 0, 1, 2), m(0, 0, 1, 1)], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
 
 
 def cofactor(F: jnp.ndarray) -> jnp.ndarray:
@@ -107,8 +170,7 @@ def cofactor(F: jnp.ndarray) -> jnp.ndarray:
             ],
             axis=-2,
         )
-    c = jnp.linalg.det(F)[..., None, None] * jnp.linalg.inv(F).swapaxes(-1, -2)
-    return c
+    return cofactor3(F)
 
 
 def polar_rotation(F: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
@@ -228,8 +290,7 @@ class LocalModel:
     def cauchy(self, xi, kin: Kinematics, params, p):
         """Full Cauchy stress; mixed-formulation models use sigma =
         dev_cauchy - p I (reference: e.g. small_J2.cpp cauchy)."""
-        d = self.dim
-        return self.dev_cauchy(xi, kin, params) - p * jnp.eye(d, dtype=xi.dtype)
+        return sub_diag(self.dev_cauchy(xi, kin, params), p)
 
     def dev_cauchy(self, xi, kin: Kinematics, params):
         raise NotImplementedError

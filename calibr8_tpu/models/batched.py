@@ -1,0 +1,198 @@
+"""Hand-batched (trailing element axis) constitutive implementations
+for the Pallas assembly fast path.
+
+Why these exist: the generic path vmaps per-element model functions,
+and inside Pallas kernels vmap's batching rules emit broadcasts of
+unbatched constants (scalar selects, `jnp.eye`, stacked slices) that
+crash Mosaic layout inference on TPU.  Everything here is written
+directly on full-rank trailing-layout arrays — shapes (..., E) with
+the element axis on the TPU lanes — using only ops verified to lower
+(elementwise, stacks/concats of full-rank arrays, full-rank selects,
+broadcasted_iota masks, gauss_solve_T).
+
+A model that provides a batched twin is eligible for the fused Pallas
+assembly kernel (fem/pallas_assembly.py); all other models use the XLA
+path.  Numerics are identical: `residual` evaluates the same branchwise
+equations as the per-element model (small_strain.py), and the closed
+form local solve reproduces the local Newton's converged state exactly
+(the J2 radial return with linear isotropic hardening is analytic —
+reference small_J2.cpp:186-246 solves it with Newton; same root).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+SQRT_23 = np.sqrt(2.0 / 3.0)
+SQRT_32 = np.sqrt(3.0 / 2.0)
+
+
+def usum(x, axis: int):
+    """Unrolled sum over a small leading/static axis.  Mosaic rejects
+    vector.multi_reduction over dimensions whose layout has non-zero
+    offsets (which strided slices like xm[:, d] produce), so kernel-path
+    code sums tiny axes with explicit adds instead of jnp.sum."""
+    n = x.shape[axis]
+    idx = [slice(None)] * x.ndim
+    idx[axis] = 0
+    acc = x[tuple(idx)]
+    for k in range(1, n):
+        idx[axis] = k
+        acc = acc + x[tuple(idx)]
+    return acc
+
+
+# -- trailing-layout small-tensor helpers (all full-rank) ---------------
+
+
+def t_voigt_to_sym(v, d: int):
+    """(nc, E) -> (d, d, E) via full-rank stacks."""
+    if d == 2:
+        r0 = jnp.stack([v[0], v[2]], axis=0)
+        r1 = jnp.stack([v[2], v[1]], axis=0)
+        return jnp.stack([r0, r1], axis=0)
+    r0 = jnp.stack([v[0], v[3], v[4]], axis=0)
+    r1 = jnp.stack([v[3], v[1], v[5]], axis=0)
+    r2 = jnp.stack([v[4], v[5], v[2]], axis=0)
+    return jnp.stack([r0, r1, r2], axis=0)
+
+
+def t_sym_to_voigt(a, d: int):
+    if d == 2:
+        return jnp.stack([a[0, 0], a[1, 1], a[0, 1]], axis=0)
+    return jnp.stack(
+        [a[0, 0], a[1, 1], a[2, 2], a[0, 1], a[0, 2], a[1, 2]], axis=0
+    )
+
+
+def t_trace(a):
+    d = a.shape[0]
+    t = a[0, 0]
+    for i in range(1, d):
+        t = t + a[i, i]
+    return t
+
+
+def t_sub_diag(a, s):
+    """a - s*I on (d, d, E) without eye constants."""
+    d = a.shape[0]
+    rows = []
+    for i in range(d):
+        cols = [a[i, j] - s if i == j else a[i, j] for j in range(d)]
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def t_dev3(a):
+    return t_sub_diag(a, t_trace(a) / 3.0)
+
+
+def t_norm(a, eps=1e-30):
+    aa = a * a
+    return jnp.sqrt(usum(usum(aa, 0), 0) + eps)
+
+
+def t_sym(a):
+    return 0.5 * (a + a.swapaxes(0, 1))
+
+
+class BatchedSmallJ2:
+    """Trailing-layout twin of SmallJ2 (models/small_strain.py).
+
+    xi packing (7, E): [pstrain voigt (6), alpha]; params (6, E):
+    [E, nu, K, Y, cte, delta_T].
+    """
+
+    name = "small_J2"
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        self.nc = 3 if self.dim == 2 else 6
+        self.abs_tol = model.abs_tol
+
+    # shared pieces ------------------------------------------------------
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _strain(self, kinT):
+        return t_sym(kinT.grad_u)
+
+    def _dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        ps = t_voigt_to_sym(xiT[: self.nc], self.dim)
+        eps = self._strain(kinT)
+        return 2.0 * mu * (t_dev3(eps) - ps)
+
+    def _yield_f(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        K, Y = parT[2], parT[3]
+        alpha = xiT[self.nc]
+        s = self._dev_cauchy(xiT, kinT, parT)
+        return (t_norm(s) - SQRT_23 * (Y + K * alpha)) / mu
+
+    # the fused-kernel interface ------------------------------------------
+    def local_solve(self, xipT, kinT, parT):
+        """Closed-form radial return.  Returns (xiT, path (E,) int32,
+        failed (E,) int32)."""
+        mu = self._mu(parT)
+        K, Y = parT[2], parT[3]
+        ps_prev = t_voigt_to_sym(xipT[: self.nc], self.dim)
+        alpha_prev = xipT[self.nc]
+        eps = self._strain(kinT)
+        s_tr = 2.0 * mu * (t_dev3(eps) - ps_prev)
+        s_mag = t_norm(s_tr)
+        f_tr = (s_mag - SQRT_23 * (Y + K * alpha_prev)) / mu
+        plastic = f_tr >= -self.abs_tol
+        dgam = jnp.maximum(f_tr, 0.0) * mu / (2.0 * mu + (2.0 / 3.0) * K)
+        n_tr = s_tr / s_mag
+        ps = ps_prev + jnp.where(plastic, dgam, 0.0) * n_tr
+        alpha = alpha_prev + jnp.where(plastic, SQRT_23 * dgam, 0.0)
+        xiT = jnp.concatenate(
+            [t_sym_to_voigt(ps, self.dim), alpha[None, :]], axis=0
+        )
+        path = plastic.astype(jnp.int32)
+        return xiT, path, jnp.zeros_like(path)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        """Branchwise C in trailing layout; path (E,) int32 forces the
+        branch (same equations as SmallJ2.residual)."""
+        ps = t_voigt_to_sym(xiT[: self.nc], self.dim)
+        alpha = xiT[self.nc]
+        ps_old = t_voigt_to_sym(xipT[: self.nc], self.dim)
+        alpha_old = xipT[self.nc]
+        f = self._yield_f(xiT, kinT, parT)
+        s = self._dev_cauchy(xiT, kinT, parT)
+        n = s / t_norm(s)
+        dgam = SQRT_32 * (alpha - alpha_old)
+        plastic = (path == 1).astype(xiT.dtype)
+        R_ps = ps - ps_old - (plastic * dgam) * n
+        R_a = plastic * f + (1.0 - plastic) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_ps, self.dim), R_a[None, :]], axis=0
+        )
+
+    # stress measures for the batched mechanics residual -----------------
+    def cauchy(self, xiT, kinT, parT, pT):
+        """sigma = dev_cauchy - p I, (d, d, E)."""
+        return t_sub_diag(self._dev_cauchy(xiT, kinT, parT), pT)
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu, cte, dT = parT[0], parT[1], parT[4], parT[5]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        thermal = cte * dT * Em / (1.0 - 2.0 * nu)
+        return kappa * t_trace(self._strain(kinT)) - thermal
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+    finite_deformation = False
+
+
+BATCHED_MODELS = {"small_J2": BatchedSmallJ2}
+
+
+def get_batched_model(model):
+    cls = BATCHED_MODELS.get(getattr(model, "name", None))
+    return cls(model) if cls is not None else None

@@ -166,3 +166,115 @@ def local_jacobians(model, xi, xi_prev, kin: Kinematics, params, path):
     for i, name in enumerate(names):
         out[name] = jax.jacfwd(C, argnums=i)(*args)
     return out
+
+
+def make_local_solver_batched(model, max_iters: int, abs_tol: float, rel_tol: float):
+    """Batched (trailing element axis) local Newton with a SCALAR
+    while condition (any unconverged) — required inside Pallas kernels,
+    where Mosaic cannot lower vector-valued loop conditions, and also
+    the efficient layout for XLA (element axis on the TPU lanes).
+
+    solve(xiT_prev (nxi, E), kinT (d, d, E pytree), parsT (np, E))
+    -> LocalSolveResult with trailing-axis fields."""
+
+    nxi = model.nxi()
+
+    def solve(xiT_prev, kinT, parsT):
+        dtype = xiT_prev.dtype
+        E = xiT_prev.shape[-1]
+
+        def resid_one(xi, xi_prev, kin, params, path):
+            return model.residual(xi, xi_prev, kin, params, path)
+
+        vres = jax.vmap(
+            resid_one, in_axes=(-1, -1, Kinematics(-1, -1), -1, 0), out_axes=-1
+        )
+        vpath = jax.vmap(
+            model.pathfn, in_axes=(-1, -1, Kinematics(-1, -1), -1), out_axes=0
+        )
+
+        if not model.needs_local_newton():
+            xi = jnp.zeros_like(xiT_prev)
+            return LocalSolveResult(
+                xi=xi,
+                path=jnp.zeros(E, jnp.int32),
+                failed=jnp.zeros(E, bool),
+                iters=jnp.zeros(E, jnp.int32),
+            )
+
+        vfirst = jax.vmap(
+            model.first_guess, in_axes=(-1, Kinematics(-1, -1), -1), out_axes=-1
+        )
+        xi0 = vfirst(xiT_prev, kinT, parsT)
+
+        freeze_path = getattr(model, "freeze_path", False)
+        use_ls = getattr(model, "local_line_search", freeze_path)
+
+        from calibr8_tpu.utils.smallsolve import gauss_solve_T
+
+        def jacT(xiT, path):
+            def f(z):
+                return vres(z, xiT_prev, kinT, parsT, path)
+
+            _, lin = jax.linearize(f, xiT)
+            # iota-based one-hot seeds (a .at[k].set would lower to a
+            # scatter, which Mosaic cannot lower inside Pallas kernels)
+            rows = jax.lax.broadcasted_iota(jnp.int32, xiT.shape, 0)
+            cols = [lin((rows == k).astype(xiT.dtype)) for k in range(nxi)]
+            return jnp.stack(cols, axis=1)  # (nxi, nxi, E)
+
+        def cond(s):
+            # s[4] is an int32 mask (Mosaic cannot carry i1 vectors
+            # through scf.while)
+            return jnp.any(jnp.logical_and(s[2] <= max_iters, s[4] == 0))
+
+        def body(s):
+            xiT, path, it, r0, done = s
+            new_path = vpath(xiT, xiT_prev, kinT, parsT)
+            if freeze_path:
+                new_path = jnp.where(it == 1, new_path, path)
+            R = vres(xiT, xiT_prev, kinT, parsT, new_path)  # (nxi, E)
+            rnorm = jnp.sqrt(jnp.sum(R * R, axis=0))
+            r0n = jnp.where(it == 1, rnorm, r0)
+            conv = jnp.logical_or(
+                rnorm < abs_tol, rnorm / jnp.maximum(r0n, 1e-300) < rel_tol
+            )
+            J = jacT(xiT, new_path)
+            dxi = gauss_solve_T(J, -R[:, None, :])[:, 0, :]
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(dxi), axis=0))
+            dxi = jnp.where(bad[None, :], 0.0, dxi)
+            if use_ls:
+                phi0 = 0.5 * rnorm * rnorm
+                alpha = jnp.ones(E, dtype)
+                accepted = jnp.zeros(E, bool)
+                for _ in range(4):
+                    Rt = vres(
+                        xiT + alpha[None, :] * dxi, xiT_prev, kinT, parsT, new_path
+                    )
+                    phit = 0.5 * jnp.sum(Rt * Rt, axis=0)
+                    ok = jnp.logical_and(
+                        phit <= phi0 * (1.0 - 2e-4 * alpha),
+                        jnp.all(jnp.isfinite(Rt), axis=0),
+                    )
+                    alpha = jnp.where(jnp.logical_or(ok, accepted), alpha, alpha * 0.5)
+                    accepted = jnp.logical_or(accepted, ok)
+                dxi = alpha[None, :] * dxi
+            xi_new = jnp.where(conv[None, :], xiT, xiT + dxi)
+            return (xi_new, new_path, it + 1, r0n, conv.astype(jnp.int32))
+
+        s0 = (
+            xi0.astype(dtype),
+            jnp.zeros(E, jnp.int32),
+            jnp.asarray(1, jnp.int32),
+            jnp.ones(E, dtype),
+            jnp.zeros(E, jnp.int32),
+        )
+        xiT, path, it, r0, done = jax.lax.while_loop(cond, body, s0)
+        return LocalSolveResult(
+            xi=xiT,
+            path=path,
+            failed=(done == 0),
+            iters=jnp.full(E, it - 1, jnp.int32),
+        )
+
+    return solve

@@ -70,11 +70,14 @@ def gauss_solve_T(A, B):
     condensation.  No pivoting (see gauss_solve)."""
     n = A.shape[0]
     Ab = jnp.concatenate([A, B], axis=1)  # (n, n+m, E)
+    # row-unrolled Gauss-Jordan using only rank-1 (E,) lane-aligned
+    # broadcasts: size-1 sublane expansions like (1, n+m, E) -> full and
+    # rank-1 iota masks both crash Mosaic layout inference in Pallas
+    # kernels once n+m exceeds one sublane tile
     for k in range(n):
-        pivval = Ab[k, k][None, :]  # (1, E)
-        rowk = Ab[k] / pivval  # (n+m, E)
-        factors = Ab[:, k]  # (n, E)
-        Ab = Ab - factors[:, None, :] * rowk[None, :, :]
-        sel = (jnp.arange(n) == k)[:, None, None]
-        Ab = jnp.where(sel, rowk[None, :, :], Ab)
+        rowk = Ab[k] * (1.0 / Ab[k, k])  # (n+m, E)
+        rows = []
+        for i in range(n):
+            rows.append(rowk if i == k else Ab[i] - Ab[i, k] * rowk)
+        Ab = jnp.stack(rows, axis=0)
     return Ab[:, n:]
