@@ -84,13 +84,34 @@ def main():
         (disc.n_elem, 1),
     )
 
-    @jax.jit
-    def assemble(x, x_prev, xi_prev, params):
-        loc = a.local_solve(x, x_prev, xi_prev, params)
-        R, J_e, diag = a.residual_and_jacobian(
-            x, x_prev, loc.xi, xi_prev, loc.path, params
+    from calibr8_tpu.fem import pallas_assembly
+
+    if (
+        jax.devices()[0].platform == "tpu"
+        and os.environ.get("CALIBR8_PALLAS", "1") != "0"
+        and pallas_assembly.supports_pallas(a)
+    ):
+        raw = pallas_assembly.make_pallas_assemble(a)
+        prep = jax.jit(raw.prepare)(x_prev, xi_prev)
+        jax.block_until_ready(prep)
+        inner = jax.jit(
+            lambda x, p0, p1, params: raw.assemble_prepared(
+                x, p0, p1, params, trailing_J=True
+            )
         )
-        return R, J_e, diag, jnp.sum(loc.failed)
+
+        def assemble(x, x_prev, xi_prev, params):
+            return inner(x, prep[0], prep[1], params)
+
+    else:
+
+        @jax.jit
+        def assemble(x, x_prev, xi_prev, params):
+            loc = a.local_solve(x, x_prev, xi_prev, params)
+            R, J_e, diag = a.residual_and_jacobian(
+                x, x_prev, loc.xi, xi_prev, loc.path, params
+            )
+            return R, J_e, diag, jnp.sum(loc.failed)
 
     # warmup / compile
     out = assemble(x, x_prev, xi_prev, prob.params0)

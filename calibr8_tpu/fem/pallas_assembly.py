@@ -169,7 +169,20 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
     N1_np = basis.shape_values(d, q1_pts)
     npts1 = N1_np.shape[0]
 
-    elem_res = make_batched_elem_residual(bmodel, spec, N1_np, q1w_np)
+    meas0 = PARENT_MEASURE[d]
+    ndpn = spec.ndofs_per_node
+    N1v = [[float(N1_np[q, n]) for n in range(npe)] for q in range(N1_np.shape[0])]
+    w1v = [float(w) for w in np.asarray(q1w_np).ravel()]
+    npts1 = len(w1v)
+    # static pressure "mass" coefficients: sum_q w_q N_q[n] N_q[m]
+    mass_c = [
+        [
+            sum(w1v[q] * N1v[q][n] * N1v[q][m] for q in range(npts1))
+            for m in range(npe)
+        ]
+        for n in range(npe)
+    ]
+    ngu = d * d
 
     def kernel(x_ref, xp_ref, xip_ref, gN_ref, dJ_ref, h_ref, par_ref,
                iota_ref, R_ref, J_ref, xi_ref, path_ref, fail_ref):
@@ -184,48 +197,118 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
         kin = _batched_kinematics(spec, x_eT, xp_eT, gNT, block_e)
         xiT, pathv, failv = bmodel.local_solve(xipT, kin, parT)
 
-        def G(v):
-            xi_ = v[:nxi]
-            xe_ = v[nxi:]
-            kin_ = _batched_kinematics(spec, xe_, xp_eT, gNT, block_e)
-            C = bmodel.residual(xi_, xipT, kin_, parT, pathv)
-            R = elem_res(xe_, xp_eT, xi_, gNT, dJ, hh, parT)
-            return jnp.concatenate([C, R], axis=0)
+        mu = parT[0] / (2.0 * (1.0 + parT[1]))
+        psf = bmodel.pressure_scale_factor(parT)
+        wdv0 = dJ * meas0
+        tau = spec.stab_multiplier * 0.5 * hh * hh / mu
+        xm = x_eT.reshape(npe, ndpn, block_e)
+        p_eT = xm[:, d]
+        gu_prev = kin.grad_u_prev
 
-        v0 = jnp.concatenate([xiT, x_eT], axis=0)
-        G0, lin = jax.linearize(G, v0)
+        # ---- state-dependent rows via the consistent tangent ----------
+        # R splits as R = S(gu) + P(p) with P LINEAR and analytic.  The
+        # local solve is a closed-form differentiable map xi*(gu)
+        # (models/batched.py), so S(gu) = S_rows(xi*(gu), gu) and its
+        # d*d grad_u tangents ARE the statically condensed Jacobian
+        # dR/dx - dR/dxi (dC/dxi)^{-1} dC/dx of the reference
+        # (evaluations.cpp:112) — no per-element linear solve needed.
+        def H(guf):
+            kin_ = Kinematics(
+                grad_u=guf.reshape(d, d, block_e), grad_u_prev=gu_prev
+            )
+            xi_, _, _ = bmodel.local_solve(xipT, kin_, parT)
+            sdev = bmodel.dev_cauchy(xi_, kin_, parT)
+            hydro = bmodel.hydro_cauchy(xi_, kin_, parT)
+            rp = -(hydro / psf) * (1.0 / npe) * wdv0
+            rows = []
+            for n in range(npe):
+                for i in range(d):
+                    acc = sdev[i, 0] * gNT[n, 0]
+                    for j in range(1, d):
+                        acc = acc + sdev[i, j] * gNT[n, j]
+                    rows.append(acc * wdv0)
+                rows.append(rp)
+            return jnp.stack(rows, 0)
+
+        H0, lin = jax.linearize(H, kin.grad_u.reshape(ngu, block_e))
         # host-provided iota: an in-kernel broadcasted_iota one-hot gets
         # constant-folded by Mosaic into shapes that crash its layout
         # passes, so the row-index matrix arrives as a runtime input
-        rows = iota_ref[...]
-        # cols[j] = dG/dv_j as a (nxi+nde, E) column; all downstream
-        # matrices are assembled from rank-1 (E,) slices with axis-0
-        # stacks — the only construction Mosaic reliably lowers
-        # (jnp.stack(cols, axis=1) crashes layout inference)
-        cols = [lin((rows == k).astype(v0.dtype)) for k in range(nxi + nde)]
+        rows_io = iota_ref[...]
+        # K[g] = dS/dgu_g (nde, E) tangent columns; downstream rows are
+        # built from rank-1 (E,) slices with axis-0 stacks — the only
+        # construction Mosaic reliably lowers
+        cols = [lin((rows_io == g).astype(H0.dtype)) for g in range(ngu)]
+        K = [
+            jnp.stack([cols[g][i] for g in range(ngu)], 0)
+            for i in range(nde)
+        ]
 
-        dC_dxi = jnp.stack(
-            [jnp.stack([cols[k][i] for k in range(nxi)], 0) for i in range(nxi)],
-            0,
-        )
-        dC_dx = jnp.stack(
+        # chain rule to u dofs: dgu[c, j]/du[m, c] = gN[m, j]
+        # plus analytic p columns
+        gg = [
             [
-                jnp.stack([cols[nxi + j][i] for j in range(nde)], 0)
-                for i in range(nxi)
-            ],
-            0,
-        )
-        dxi_dx = -gauss_solve_T(dC_dxi, dC_dx)  # (nxi, nde, E)
-        # J row i = dR_i/dx + sum_k dR_i/dxi_k * dxi_k/dx, rank-1 FMAs
+                sum(gNT[m, j] * gNT[n, j] for j in range(d))
+                for n in range(npe)
+            ]
+            for m in range(npe)
+        ]
         jrows = []
-        for i in range(nde):
-            row = jnp.stack([cols[nxi + j][nxi + i] for j in range(nde)], 0)
-            for k in range(nxi):
-                row = row + cols[k][nxi + i] * dxi_dx[k]
-            jrows.append(row)
+        for n in range(npe):
+            for ci in range(d):
+                i = n * ndpn + ci
+                # p-column value is independent of which p node m
+                pcol = -(1.0 / npe) * gNT[n, ci] * wdv0
+                ent = []
+                for m in range(npe):
+                    for c in range(d):
+                        acc = K[i][c * d + 0] * gNT[m, 0]
+                        for j in range(1, d):
+                            acc = acc + K[i][c * d + j] * gNT[m, j]
+                        ent.append(acc)
+                    ent.append(pcol)
+                jrows.append(jnp.stack(ent, 0))
+            # pressure row of node n
+            i = n * ndpn + d
+            ent = []
+            for m in range(npe):
+                for c in range(d):
+                    acc = K[i][c * d + 0] * gNT[m, 0]
+                    for j in range(1, d):
+                        acc = acc + K[i][c * d + j] * gNT[m, j]
+                    ent.append(acc)
+                ent.append(
+                    -tau * wdv0 * gg[m][n] - (dJ / psf) * mass_c[n][m]
+                )
+            jrows.append(jnp.stack(ent, 0))
         J_T = jnp.stack(jrows, axis=0)
 
-        R_ref[...] = G0[nxi:]
+        # ---- full residual: R = S0 + P(p) -----------------------------
+        p_ip = usum(p_eT, 0) * (1.0 / npe)
+        grad_p = []
+        for j in range(d):
+            acc = p_eT[0] * gNT[0, j]
+            for n in range(1, npe):
+                acc = acc + p_eT[n] * gNT[n, j]
+            grad_p.append(acc)
+        p_q = [
+            sum(N1v[q][n] * p_eT[n] for n in range(npe)) for q in range(npts1)
+        ]
+        coef = [(p_q[q] / psf) * (w1v[q] * dJ) for q in range(npts1)]
+        rrows = []
+        for n in range(npe):
+            for i in range(d):
+                rrows.append(
+                    H0[n * ndpn + i] - p_ip * gNT[n, i] * wdv0
+                )
+            stab_n = grad_p[0] * gNT[n, 0]
+            for j in range(1, d):
+                stab_n = stab_n + grad_p[j] * gNT[n, j]
+            r_p1_n = sum(coef[q] * N1v[q][n] for q in range(npts1))
+            rrows.append(
+                H0[n * ndpn + d] - tau * stab_n * wdv0 - r_p1_n
+            )
+        R_ref[...] = jnp.stack(rrows, axis=0)
         J_ref[...] = J_T
         xi_ref[...] = xiT
         path_ref[...] = pathv[None, :].astype(jnp.int32)
@@ -254,7 +337,7 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
             bs((1,)),
             bs((1,)),
             bs((npar,)),
-            bs((nxi + nde,)),
+            bs((d * d,)),
         ],
         out_specs=[
             bs((nde,)),
@@ -275,34 +358,72 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
 
     es_ids_pad = jnp.asarray(es_pad)
     iota_in = jnp.tile(
-        jnp.arange(nxi + nde, dtype=jnp.int32)[:, None], (1, E_pad)
+        jnp.arange(d * d, dtype=jnp.int32)[:, None], (1, E_pad)
     )
 
-    def assemble(x, x_prev, xi_prev, params_all):
-        x_e = disc.gather_elem(x)
-        xp_e = disc.gather_elem(x_prev)
-        pars = params_all[es_ids_pad]  # (E_pad, npar)
+    def pad_rt(a, fill=0.0):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+        ).T if pad else a.T
 
-        def pad_rt(a, fill=0.0):
-            return jnp.concatenate(
-                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
-            ).T if pad else a.T
+    def prepare(x_prev, xi_prev):
+        """Pre-transpose step-constant arrays.  x_prev and xi_prev are
+        fixed across all Newton iterations and line-search trials of a
+        load step, so their gather+relayout (~1/3 of the assembly wall
+        time) is hoisted out of the per-iteration path."""
+        return pad_rt(disc.gather_elem(x_prev)), pad_rt(xi_prev)
 
-        x_eT = pad_rt(x_e)
-        xp_eT = pad_rt(xp_e)
-        xipT = pad_rt(xi_prev)
-        parsT = pars.T
+    def assemble_prepared(x, xp_eT, xipT, params_all, trailing_J=False):
+        parsT = params_all[es_ids_pad].T  # (npar, E_pad)
+        x_eT = pad_rt(disc.gather_elem(x))
 
         R_T, J_T, xi_T, path2, fail2 = call(
             x_eT, xp_eT, xipT, gN_T, detJ_T, h_T, parsT, iota_in
         )
-        R_e = R_T.T[:n_elem]
-        J_e = jnp.moveaxis(J_T, -1, 0)[:n_elem]
         xi = xi_T.T[:n_elem]
         path = path2[0, :n_elem]
         nfail = jnp.sum(fail2[0, :n_elem])
-        R = disc.scatter_elem(R_e)
-        diag = disc.scatter_elem(jnp.diagonal(J_e, axis1=1, axis2=2))
+        # ONE transpose + ONE fused scatter for residual and Jacobian
+        # diagonal (two segment_sums dominated the assembly wall time)
+        D_T = jnp.stack([J_T[i, i] for i in range(nde)], axis=0)
+        RD = jnp.concatenate([R_T, D_T], axis=0).T[:n_elem]  # (E, 2*nde)
+        rows = jnp.concatenate(
+            [
+                RD[:, :nde].reshape(n_elem * npe, ndpn),
+                RD[:, nde:].reshape(n_elem * npe, ndpn),
+            ],
+            axis=1,
+        )
+        X = disc.scatter_rows(rows)
+        R = disc.nodemat_to_flat(X[:, :ndpn])
+        diag = disc.nodemat_to_flat(X[:, ndpn:])
+        if trailing_J:
+            return R, J_T, diag, xi, path, nfail
+        J_e = jnp.moveaxis(J_T, -1, 0)[:n_elem]
         return R, J_e, diag, xi, path, nfail
 
+    def assemble(x, x_prev, xi_prev, params_all):
+        xp_eT, xipT = prepare(x_prev, xi_prev)
+        return assemble_prepared(x, xp_eT, xipT, params_all)
+
+    assemble.prepare = prepare
+    assemble.assemble_prepared = assemble_prepared
+    assemble.n_elem_pad = E_pad
     return assemble
+
+
+def ebe_matvec_T(J_T, disc, v):
+    """Matrix-vector product with the element Jacobians kept in the
+    kernel's trailing layout (nde, nde, E_pad) — avoids the (E, nde,
+    nde) relayout entirely.  y = sum_e P_e^T J_e P_e v."""
+    nde = J_T.shape[0]
+    v_eT = disc.gather_elem(v).T  # (nde, n_elem)
+    n_elem = v_eT.shape[1]
+    rows = []
+    for i in range(nde):
+        acc = J_T[i, 0, :n_elem] * v_eT[0]
+        for j in range(1, nde):
+            acc = acc + J_T[i, j, :n_elem] * v_eT[j]
+        rows.append(acc)
+    y_e = jnp.stack(rows, axis=0).T  # (n_elem, nde)
+    return disc.scatter_elem(y_e)

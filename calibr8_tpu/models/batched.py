@@ -119,7 +119,7 @@ class BatchedSmallJ2:
     def _strain(self, kinT):
         return t_sym(kinT.grad_u)
 
-    def _dev_cauchy(self, xiT, kinT, parT):
+    def dev_cauchy(self, xiT, kinT, parT):
         mu = self._mu(parT)
         ps = t_voigt_to_sym(xiT[: self.nc], self.dim)
         eps = self._strain(kinT)
@@ -129,7 +129,7 @@ class BatchedSmallJ2:
         mu = self._mu(parT)
         K, Y = parT[2], parT[3]
         alpha = xiT[self.nc]
-        s = self._dev_cauchy(xiT, kinT, parT)
+        s = self.dev_cauchy(xiT, kinT, parT)
         return (t_norm(s) - SQRT_23 * (Y + K * alpha)) / mu
 
     # the fused-kernel interface ------------------------------------------
@@ -163,7 +163,7 @@ class BatchedSmallJ2:
         ps_old = t_voigt_to_sym(xipT[: self.nc], self.dim)
         alpha_old = xipT[self.nc]
         f = self._yield_f(xiT, kinT, parT)
-        s = self._dev_cauchy(xiT, kinT, parT)
+        s = self.dev_cauchy(xiT, kinT, parT)
         n = s / t_norm(s)
         dgam = SQRT_32 * (alpha - alpha_old)
         plastic = (path == 1).astype(xiT.dtype)
@@ -176,7 +176,7 @@ class BatchedSmallJ2:
     # stress measures for the batched mechanics residual -----------------
     def cauchy(self, xiT, kinT, parT, pT):
         """sigma = dev_cauchy - p I, (d, d, E)."""
-        return t_sub_diag(self._dev_cauchy(xiT, kinT, parT), pT)
+        return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
 
     def hydro_cauchy(self, xiT, kinT, parT):
         Em, nu, cte, dT = parT[0], parT[1], parT[4], parT[5]

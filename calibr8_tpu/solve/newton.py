@@ -69,14 +69,45 @@ class NewtonSolveError(RuntimeError):
 class StepSolver:
     """Solves one pseudo-time step: R(x; x_prev, xi(x), p) = 0."""
 
-    def __init__(self, assembler, cfg: NewtonCfg):
+    def __init__(self, assembler, cfg: NewtonCfg, use_pallas: bool | None = None):
         self.assembler = assembler
         self.cfg = cfg
+        self._pallas_assemble = None
+        if use_pallas is None:
+            import os
+
+            use_pallas = (
+                os.environ.get("CALIBR8_PALLAS", "1") != "0"
+                and jax.devices()[0].platform == "tpu"
+            )
+        if use_pallas:
+            from calibr8_tpu.fem import pallas_assembly
+
+            if pallas_assembly.supports_pallas(assembler):
+                raw = pallas_assembly.make_pallas_assemble(assembler)
+                self._pallas_assemble = raw
+                self._pallas_prepare = jax.jit(raw.prepare)
+                self._prepared = None  # (id(x_prev), id(xi_prev)) cache
         self._assemble = jax.jit(self._assemble_impl)
         self._slope = jax.jit(self._slope_impl)
 
     def _assemble_impl(self, x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force):
         a = self.assembler
+        if self._pallas_assemble is not None:
+            R, J_e, diag, xi, path, nfail = self._pallas_assemble.assemble_prepared(
+                x, x_prev, xi_prev, params
+            )
+            R = R - ext_force
+            R_bc = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
+            return dict(
+                xi=xi,
+                path=path,
+                nfail=nfail,
+                R=R_bc,
+                J_e=J_e,
+                diag=diag,
+                norm=jnp.linalg.norm(R_bc),
+            )
         loc = a.local_solve(x, x_prev, xi_prev, params)
         R, J_e, diag = a.residual_and_jacobian(
             x, x_prev, loc.xi, xi_prev, loc.path, params
@@ -120,6 +151,11 @@ class StepSolver:
 
         if do_print:
             print(f"ON PRIMAL STEP ({step})")
+
+        if self._pallas_assemble is not None:
+            # x_prev / xi_prev are constant for the whole step: hoist
+            # their gather+relayout out of every assembly
+            x_prev, xi_prev = self._pallas_prepare(x_prev, xi_prev)
 
         base = self._assemble(x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force)
         if int(base["nfail"]) > 0:
