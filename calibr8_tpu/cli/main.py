@@ -16,6 +16,14 @@ Usage: python -m calibr8_tpu <command> <deck.yaml> [options]
              (main_verify.cpp)
   error      adjoint error estimate + localization on the current mesh
              (main_error.cpp, single cycle)
+  exact_error        TRUTH nested-space error + exact-weight localization
+                     (main_exact_error.cpp)
+  model_form_error   two-model form error: estimate / --verify / --exact
+                     (main_model_form_error{,_verify,_exact_error}.cpp)
+  multi_qoi          many QoIs + gradients from one primal solve
+                     (main_evaluate_multiple_qois_and_gradients.cpp)
+  primal_multi       independent multi-problem primal solves
+                     (main_primal_multiple_problems.cpp)
   vfm        virtual-fields-method objective evaluation / calibration
              (main_virtual_fields_method.cpp)
   perturb    add Gaussian noise to measured fields in an .npz
@@ -222,6 +230,109 @@ def cmd_error(args):
     return 0
 
 
+def cmd_exact_error(args):
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.error.exact import exact_error
+
+    spec = load_deck(args.deck)
+    res = exact_error(spec)
+    print(f"J^H: {res.J_H:.16e}")
+    print(f"J^h (truth): {res.J_h:.16e}")
+    print(f"E_exact = J^h - J^H: {res.E_exact:.16e}")
+    print(f"eta (exact weights): {res.eta_exact:.16e}")
+    print(f"|eta| bound: {res.eta_bound:.16e}")
+    print(f"effectivity: {res.effectivity:.16e}")
+    if args.error_out:
+        np.save(args.error_out, res.elem_error)
+    return 0
+
+
+def cmd_model_form(args):
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.error.exact import model_form_exact_error
+    from calibr8_tpu.error.model_form import (
+        model_form_error_estimate,
+        model_form_verify,
+    )
+
+    spec = load_deck(args.deck)
+    if args.exact:
+        res = model_form_exact_error(spec)
+        print(f"J (base model): {res.J_H:.16e}")
+        print(f"J (fine model): {res.J_h:.16e}")
+        print(f"E_exact: {res.E_exact:.16e}")
+        print(f"eta (exact weights): {res.eta_exact:.16e}")
+        print(f"effectivity: {res.effectivity:.16e}")
+        if args.error_out:
+            np.save(args.error_out, res.elem_error)
+        return 0
+    if args.verify:
+        res = model_form_verify(spec)
+        print(f"J (base model): {res.J_H:.16e}")
+        print(f"J (fine model): {res.J_h:.16e}")
+        print(f"eta ~ {res.eta:.16e}")
+        print(f"E_exact: {res.E_exact:.16e}")
+        print(f"E_computed / E_exact: {res.effectivity:.16e}")
+        if spec.sub("problem").get("do regression", False):
+            ok = abs(res.effectivity - 1.0) < 1e-8
+            print("------ regression summary -----")
+            print(" PASS" if ok else " FAIL")
+            print("-------------------------------")
+            if not ok:
+                sys.exit(1)
+        return 0
+    res = model_form_error_estimate(spec)
+    print(f"J (base model): {res['J_base']:.16e}")
+    print(f"eta ~ {res['eta']:.16e}")
+    print(f"|eta| < {float(np.sum(np.abs(res['elem_error']))):.16e}")
+    if args.error_out:
+        np.save(args.error_out, res["elem_error"])
+    return 0
+
+
+def cmd_multi_qoi(args):
+    from calibr8_tpu.opt.multi_qoi import evaluate_multiple_qois_and_gradients
+
+    spec, prob = _load_problem(args.deck)
+    qois = spec.data.get("quantities of interest")
+    if qois is None:
+        qois = [spec.data["quantity of interest"]]
+    elif isinstance(qois, dict):
+        qois = list(qois.values())
+    out = evaluate_multiple_qois_and_gradients(prob, qois)
+    for k, entry in enumerate(out):
+        with open(f"objective_{k}.dat", "w") as f:
+            f.write(f"{entry['J']:.17e}\n")
+        with open(f"gradient_{k}.dat", "w") as f:
+            f.write(
+                " ".join(f"{v:.17e}" for v in entry["grad_all"].ravel()) + "\n"
+            )
+        print(f"qoi {k} ({entry['name']}): J = {entry['J']:.16e}")
+    return 0
+
+
+def cmd_primal_multi(args):
+    """Solve several independent problems from one deck (the
+    primal_multiple_problems driver: each sublist of `problems` is a
+    full problem deck; shared `residuals` merge in)."""
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.problem import Problem
+    from calibr8_tpu.spec import ProblemSpec
+
+    spec = load_deck(args.deck)
+    probs = spec.data.get("problems")
+    assert probs, "deck needs a 'problems' sublist"
+    for name, sub in probs.items():
+        data = dict(spec.data)
+        data.pop("problems")
+        data.update(sub)
+        sub_spec = ProblemSpec(data)
+        prob = Problem(sub_spec)
+        traj = prob.solve_primal()
+        print(f"problem {name}: J = {traj.J:.16e}")
+    return 0
+
+
 def cmd_perturb(args):
     from calibr8_tpu.io import synthetic as syn
     from calibr8_tpu.mesh.mesh import Mesh
@@ -271,6 +382,32 @@ def main(argv=None):
     sp.add_argument("deck")
     sp.add_argument("--error-out")
     sp.set_defaults(fn=cmd_error)
+
+    sp = sub.add_parser("exact_error")
+    sp.add_argument("deck")
+    sp.add_argument("--error-out")
+    sp.set_defaults(fn=cmd_exact_error)
+
+    sp = sub.add_parser("model_form_error")
+    sp.add_argument("deck")
+    sp.add_argument("--verify", action="store_true")
+    sp.add_argument("--exact", action="store_true")
+    sp.add_argument("--error-out")
+    sp.set_defaults(fn=cmd_model_form)
+
+    sp = sub.add_parser("multi_qoi")
+    sp.add_argument("deck")
+    sp.set_defaults(fn=cmd_multi_qoi)
+
+    sp = sub.add_parser("primal_multi")
+    sp.add_argument("deck")
+    sp.set_defaults(fn=cmd_primal_multi)
+
+    sp = sub.add_parser("vfm")
+    sp.add_argument("deck")
+    sp.add_argument("--trust_region", action="store_true")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_inverse)
 
     sp = sub.add_parser("spr_error")
     sp.add_argument("deck")
