@@ -138,14 +138,18 @@ class Disc:
         scatter-add as a gather+sum, which is ~1.7x faster than
         segment_sum's scatter on TPU."""
         if getattr(self, "_node_inc", None) is None:
+            from calibr8_tpu import native
+
             ids = np.asarray(self.conn).reshape(-1)
-            order = np.argsort(ids, kind="stable").astype(np.int32)
-            sorted_ids = ids[order]
-            starts = np.searchsorted(sorted_ids, np.arange(self.n_nodes))
-            rank = np.arange(len(ids)) - starts[sorted_ids]
-            K = int(rank.max()) + 1 if len(ids) else 1
-            inc = np.full((self.n_nodes, K), len(ids), np.int32)
-            inc[sorted_ids, rank] = order
+            inc = native.node_incidence(ids, self.n_nodes)
+            if inc is None:  # numpy fallback (no compiler available)
+                order = np.argsort(ids, kind="stable").astype(np.int32)
+                sorted_ids = ids[order]
+                starts = np.searchsorted(sorted_ids, np.arange(self.n_nodes))
+                rank = np.arange(len(ids)) - starts[sorted_ids]
+                K = int(rank.max()) + 1 if len(ids) else 1
+                inc = np.full((self.n_nodes, K), len(ids), np.int32)
+                inc[sorted_ids, rank] = order
             # cache as numpy: a jnp array built under an active jit trace
             # would leak the tracer
             self._node_inc = inc

@@ -61,7 +61,13 @@ def uniform_refine(mesh: Mesh) -> Refinement:
     edges = np.concatenate(
         [np.sort(conn[:, [i, j]], axis=1) for (i, j) in pairs], axis=0
     )
-    uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+    from calibr8_tpu import native
+
+    ue = native.unique_edges(edges)
+    if ue is not None:
+        uniq, inv = ue
+    else:
+        uniq, inv = np.unique(edges, axis=0, return_inverse=True)
     n_edges = uniq.shape[0]
     mid_of = inv.reshape(len(pairs), -1)  # (n_pairs, n_elem) -> midpoint ids
 
@@ -77,9 +83,17 @@ def uniform_refine(mesh: Mesh) -> Refinement:
         k = pairs.index((min(i, j), max(i, j)))
         return n_nodes + mid_of[k, e]
 
+    n_elem = conn.shape[0]
+    mids_tab = n_nodes + mid_of  # (n_pairs, n_elem) midpoint NODE ids
+    nat = native.refine_children(conn, dim, mids_tab, coords)
+    if nat is not None:
+        fine_conn, elem_parent = nat
+        return _finish_refine(
+            mesh, coords, node_parents, uniq, fine_conn, elem_parent
+        )
+
     fine_conn = []
     elem_parent = []
-    n_elem = conn.shape[0]
     for e in range(n_elem):
         v = conn[e]
         if dim == 2:
@@ -115,6 +129,14 @@ def uniform_refine(mesh: Mesh) -> Refinement:
 
     fine_conn = np.asarray(fine_conn, dtype=np.int64)
     elem_parent = np.asarray(elem_parent, dtype=np.int64)
+    return _finish_refine(mesh, coords, node_parents, uniq, fine_conn, elem_parent)
+
+
+def _finish_refine(mesh, coords, node_parents, uniq, fine_conn, elem_parent):
+    """Propagate node/side/element sets to the refined mesh."""
+    dim = mesh.dim
+    conn = np.asarray(mesh.conn)
+    n_nodes = mesh.n_nodes
 
     # node sets: originals + midpoints whose both endpoints are members
     node_sets = {}
