@@ -347,6 +347,39 @@ def cmd_perturb(args):
     return 0
 
 
+def cmd_vectorize(args):
+    from calibr8_tpu.io.fields_utils import vectorize_fields
+
+    data = dict(np.load(args.fields))
+    out = vectorize_fields(data, args.num_steps)
+    np.savez_compressed(args.out, **out)
+    print(f"vectorized fields written: {args.out}")
+    return 0
+
+
+def cmd_add_node_set_fields(args):
+    spec, prob = _load_problem(args.deck)
+    from calibr8_tpu.io.fields_utils import add_node_set_fields
+    from calibr8_tpu.io.synthetic import save_fields
+
+    add_node_set_fields(prob.mesh)
+    save_fields(prob.mesh, args.out)
+    print(f"node-set indicator fields written: {args.out}")
+    return 0
+
+
+def cmd_transfer(args):
+    from calibr8_tpu.io.fields_utils import transfer_surface_data
+
+    data = dict(np.load(args.fields))
+    src = np.load(args.src_coords)
+    tgt = np.load(args.tgt_coords)
+    out = transfer_surface_data(src, data, tgt, args.radius, args.order)
+    np.savez_compressed(args.out, **out)
+    print(f"transferred fields written: {args.out}")
+    return 0
+
+
 def cmd_mls(args):
     from calibr8_tpu.io.mls import mls_filter_npz
 
@@ -420,6 +453,26 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=22)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_perturb)
+
+    sp = sub.add_parser("vectorize")
+    sp.add_argument("fields")
+    sp.add_argument("out")
+    sp.add_argument("--num-steps", type=int, default=10)
+    sp.set_defaults(fn=cmd_vectorize)
+
+    sp = sub.add_parser("add_node_set_fields")
+    sp.add_argument("deck")
+    sp.add_argument("out")
+    sp.set_defaults(fn=cmd_add_node_set_fields)
+
+    sp = sub.add_parser("transfer")
+    sp.add_argument("fields")
+    sp.add_argument("src_coords")
+    sp.add_argument("tgt_coords")
+    sp.add_argument("out")
+    sp.add_argument("--radius", type=float, default=0.1)
+    sp.add_argument("--order", type=int, default=2)
+    sp.set_defaults(fn=cmd_transfer)
 
     sp = sub.add_parser("mls")
     sp.add_argument("fields")

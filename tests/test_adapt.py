@@ -59,3 +59,34 @@ def test_adaptive_cycles_reduce_error():
         assert abs(c["effectivity"] - 1.0) < 1e-8
     # the error estimate at the final adapted mesh beats the initial one
     assert abs(res.cycles[-1]["eta"]) < abs(res.cycles[0]["eta"])
+
+
+def test_bisect_3d_conforming():
+    """3D local refinement (global longest-edge splits): conforming,
+    positively oriented, sets propagated."""
+    from collections import Counter
+
+    import numpy as np
+
+    from calibr8_tpu.mesh.adapt import bisect_3d
+    from calibr8_tpu.mesh.generators import cube
+    from calibr8_tpu.mesh.mesh import local_facets
+
+    mesh = cube(n=3)
+    cen = mesh.coords[mesh.conn].mean(1)
+    marked = np.linalg.norm(cen - 0.5, axis=1) < 0.3
+    out = bisect_3d(mesh, marked)
+    assert out.n_elems > mesh.n_elems
+
+    lf = local_facets(3)
+    fc = Counter()
+    for e in range(out.n_elems):
+        for f in range(lf.shape[0]):
+            fc[tuple(sorted(out.conn[e, lf[f]]))] += 1
+    assert max(fc.values()) <= 2  # conforming
+    p = out.coords[out.conn]
+    det = np.linalg.det(p[:, 1:] - p[:, :1])
+    assert det.min() > 0  # positive orientation
+    for name in ("xmin", "ymax", "zmin"):
+        assert len(out.side_sets[name]) >= len(mesh.side_sets[name])
+        assert len(out.node_sets[name]) >= len(mesh.node_sets[name])
