@@ -183,6 +183,13 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
         for n in range(npe)
     ]
     ngu = d * d
+    analytic = getattr(bmodel, "analytic_solve", False)
+    finite = getattr(bmodel, "finite_deformation", False)
+    # host-iota rows: gu seeds (+ xi seeds for the implicit mode and the
+    # in-kernel local Newton)
+    n_iota = max(ngu + (0 if analytic else nxi), nxi)
+
+    from calibr8_tpu.models.batched import t_cof, t_det, t_F, t_mm, t_transpose
 
     def kernel(x_ref, xp_ref, xip_ref, gN_ref, dJ_ref, h_ref, par_ref,
                iota_ref, R_ref, J_ref, xi_ref, path_ref, fail_ref):
@@ -193,9 +200,16 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
         dJ = dJ_ref[...][0]
         hh = h_ref[...][0]
         parT = par_ref[...]
+        # host-provided iota: an in-kernel broadcasted_iota one-hot gets
+        # constant-folded by Mosaic into shapes that crash its layout
+        # passes, so the row-index matrix arrives as a runtime input
+        rows_io = iota_ref[...]
 
         kin = _batched_kinematics(spec, x_eT, xp_eT, gNT, block_e)
-        xiT, pathv, failv = bmodel.local_solve(xipT, kin, parT)
+        if analytic:
+            xiT, pathv, failv = bmodel.local_solve(xipT, kin, parT)
+        else:
+            xiT, pathv, failv = bmodel.local_solve(xipT, kin, parT, rows_io)
 
         mu = parT[0] / (2.0 * (1.0 + parT[1]))
         psf = bmodel.pressure_scale_factor(parT)
@@ -205,50 +219,128 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
         p_eT = xm[:, d]
         gu_prev = kin.grad_u_prev
 
-        # ---- state-dependent rows via the consistent tangent ----------
-        # R splits as R = S(gu) + P(p) with P LINEAR and analytic.  The
-        # local solve is a closed-form differentiable map xi*(gu)
-        # (models/batched.py), so S(gu) = S_rows(xi*(gu), gu) and its
-        # d*d grad_u tangents ARE the statically condensed Jacobian
-        # dR/dx - dR/dxi (dC/dxi)^{-1} dC/dx of the reference
-        # (evaluations.cpp:112) — no per-element linear solve needed.
-        def H(guf):
-            kin_ = Kinematics(
-                grad_u=guf.reshape(d, d, block_e), grad_u_prev=gu_prev
-            )
-            xi_, _, _ = bmodel.local_solve(xipT, kin_, parT)
-            sdev = bmodel.dev_cauchy(xi_, kin_, parT)
+        # frozen (state-independent under the gu/xi seeds) pressure data
+        p_ip = usum(p_eT, 0) * (1.0 / npe)
+        grad_p = []
+        for j in range(d):
+            acc = p_eT[0] * gNT[0, j]
+            for n in range(1, npe):
+                acc = acc + p_eT[n] * gNT[n, j]
+            grad_p.append(acc)
+        p_q = [
+            sum(N1v[q][n] * p_eT[n] for n in range(npe)) for q in range(npts1)
+        ]
+        coef = [(p_q[q] / psf) * (w1v[q] * dJ) for q in range(npts1)]
+
+        def S_rows(xi_, gu_):
+            """FULL element residual rows (nde, E) at frozen nodal
+            pressures — its (xi, gu) tangents are the state-dependent
+            Jacobian block; the p columns are appended analytically."""
+            from calibr8_tpu.models.base import Kinematics as Kin
+
+            kin_ = Kin(grad_u=gu_, grad_u_prev=gu_prev)
+            sigma = bmodel.cauchy(xi_, kin_, parT, p_ip)
+            if finite:
+                F_ = t_F(gu_)
+                sigma = t_mm(sigma, t_cof(F_))
+                M = t_mm(t_transpose(t_cof(F_)), t_cof(F_))
+                sc = tau / t_det(F_)
+                stab_gp = [
+                    sc * sum(M[j, k] * grad_p[k] for k in range(d))
+                    for j in range(d)
+                ]
+            else:
+                stab_gp = [tau * grad_p[j] for j in range(d)]
             hydro = bmodel.hydro_cauchy(xi_, kin_, parT)
-            rp = -(hydro / psf) * (1.0 / npe) * wdv0
+            rp_const = -(hydro / psf) * (1.0 / npe) * wdv0
             rows = []
             for n in range(npe):
                 for i in range(d):
-                    acc = sdev[i, 0] * gNT[n, 0]
+                    acc = sigma[i, 0] * gNT[n, 0]
                     for j in range(1, d):
-                        acc = acc + sdev[i, j] * gNT[n, j]
+                        acc = acc + sigma[i, j] * gNT[n, j]
                     rows.append(acc * wdv0)
-                rows.append(rp)
+                stab_n = stab_gp[0] * gNT[n, 0]
+                for j in range(1, d):
+                    stab_n = stab_n + stab_gp[j] * gNT[n, j]
+                r_p1_n = sum(coef[q] * N1v[q][n] for q in range(npts1))
+                rows.append(rp_const - stab_n * wdv0 - r_p1_n)
             return jnp.stack(rows, 0)
 
-        H0, lin = jax.linearize(H, kin.grad_u.reshape(ngu, block_e))
-        # host-provided iota: an in-kernel broadcasted_iota one-hot gets
-        # constant-folded by Mosaic into shapes that crash its layout
-        # passes, so the row-index matrix arrives as a runtime input
-        rows_io = iota_ref[...]
-        # K[g] = dS/dgu_g (nde, E) tangent columns; downstream rows are
-        # built from rank-1 (E,) slices with axis-0 stacks — the only
-        # construction Mosaic reliably lowers
-        cols = [lin((rows_io == g).astype(H0.dtype)) for g in range(ngu)]
-        K = [
-            jnp.stack([cols[g][i] for g in range(ngu)], 0)
-            for i in range(nde)
-        ]
+        gu0f = kin.grad_u.reshape(ngu, block_e)
+        if analytic:
+            # ---- consistent tangent through the closed-form solve ----
+            # xi*(gu) is differentiable, so the d*d grad_u tangents of
+            # S(xi*(gu), gu) ARE the statically condensed Jacobian
+            # dR/dx - dR/dxi (dC/dxi)^{-1} dC/dx (evaluations.cpp:112)
+            def H(guf):
+                gu_ = guf.reshape(d, d, block_e)
+                from calibr8_tpu.models.base import Kinematics as Kin
 
-        # chain rule to u dofs: dgu[c, j]/du[m, c] = gN[m, j]
-        # plus analytic p columns
+                xi_, _, _ = bmodel.local_solve(
+                    xipT, Kin(grad_u=gu_, grad_u_prev=gu_prev), parT
+                )
+                return S_rows(xi_, gu_)
+
+            H0, lin = jax.linearize(H, gu0f)
+            cols = [lin((rows_io[:ngu] == g).astype(H0.dtype)) for g in range(ngu)]
+            K = [
+                jnp.stack([cols[g][i] for g in range(ngu)], 0)
+                for i in range(nde)
+            ]
+        else:
+            # ---- implicit condensation about the Newton solution -----
+            # seeds over v = [xi; gu]; dxi/dgu = -(dC/dxi)^{-1} dC/dgu
+            def H(v):
+                xi_ = v[:nxi]
+                gu_ = v[nxi:].reshape(d, d, block_e)
+                C = bmodel.residual(xi_, xipT,
+                                    Kinematics(grad_u=gu_, grad_u_prev=gu_prev),
+                                    parT, pathv)
+                return jnp.concatenate([C, S_rows(xi_, gu_)], axis=0)
+
+            v0 = jnp.concatenate([xiT, gu0f], axis=0)
+            Hf0, lin = jax.linearize(H, v0)
+            cols = [
+                lin((rows_io[: nxi + ngu] == k).astype(v0.dtype))
+                for k in range(nxi + ngu)
+            ]
+            dC_dxi = jnp.stack(
+                [jnp.stack([cols[k][i] for k in range(nxi)], 0) for i in range(nxi)],
+                0,
+            )
+            dC_dgu = jnp.stack(
+                [
+                    jnp.stack([cols[nxi + g][i] for g in range(ngu)], 0)
+                    for i in range(nxi)
+                ],
+                0,
+            )
+            dxi_dgu = -gauss_solve_T(dC_dxi, dC_dgu)  # (nxi, ngu, E)
+            K = []
+            for i in range(nde):
+                row = jnp.stack(
+                    [cols[nxi + g][nxi + i] for g in range(ngu)], 0
+                )
+                for k in range(nxi):
+                    row = row + cols[k][nxi + i] * dxi_dgu[k]
+                K.append(row)
+            H0 = Hf0[nxi:]
+
+        # ---- analytic pressure columns -------------------------------
+        if finite:
+            F0 = t_F(kin.grad_u)
+            cof0 = t_cof(F0)
+            M0 = t_mm(t_transpose(cof0), cof0) / t_det(F0)
         gg = [
             [
                 sum(gNT[m, j] * gNT[n, j] for j in range(d))
+                if not finite
+                else sum(
+                    gNT[n, j] * M0[j, k] * gNT[m, k]
+                    for j in range(d)
+                    for k in range(d)
+                )
                 for n in range(npe)
             ]
             for m in range(npe)
@@ -258,7 +350,14 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
             for ci in range(d):
                 i = n * ndpn + ci
                 # p-column value is independent of which p node m
-                pcol = -(1.0 / npe) * gNT[n, ci] * wdv0
+                if finite:
+                    pcol = (
+                        -(1.0 / npe)
+                        * wdv0
+                        * sum(cof0[ci, j] * gNT[n, j] for j in range(d))
+                    )
+                else:
+                    pcol = -(1.0 / npe) * gNT[n, ci] * wdv0
                 ent = []
                 for m in range(npe):
                     for c in range(d):
@@ -283,32 +382,7 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
             jrows.append(jnp.stack(ent, 0))
         J_T = jnp.stack(jrows, axis=0)
 
-        # ---- full residual: R = S0 + P(p) -----------------------------
-        p_ip = usum(p_eT, 0) * (1.0 / npe)
-        grad_p = []
-        for j in range(d):
-            acc = p_eT[0] * gNT[0, j]
-            for n in range(1, npe):
-                acc = acc + p_eT[n] * gNT[n, j]
-            grad_p.append(acc)
-        p_q = [
-            sum(N1v[q][n] * p_eT[n] for n in range(npe)) for q in range(npts1)
-        ]
-        coef = [(p_q[q] / psf) * (w1v[q] * dJ) for q in range(npts1)]
-        rrows = []
-        for n in range(npe):
-            for i in range(d):
-                rrows.append(
-                    H0[n * ndpn + i] - p_ip * gNT[n, i] * wdv0
-                )
-            stab_n = grad_p[0] * gNT[n, 0]
-            for j in range(1, d):
-                stab_n = stab_n + grad_p[j] * gNT[n, j]
-            r_p1_n = sum(coef[q] * N1v[q][n] for q in range(npts1))
-            rrows.append(
-                H0[n * ndpn + d] - tau * stab_n * wdv0 - r_p1_n
-            )
-        R_ref[...] = jnp.stack(rrows, axis=0)
+        R_ref[...] = H0
         J_ref[...] = J_T
         xi_ref[...] = xiT
         path_ref[...] = pathv[None, :].astype(jnp.int32)
@@ -337,7 +411,7 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
             bs((1,)),
             bs((1,)),
             bs((npar,)),
-            bs((d * d,)),
+            bs((n_iota,)),
         ],
         out_specs=[
             bs((nde,)),
@@ -358,7 +432,7 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
 
     es_ids_pad = jnp.asarray(es_pad)
     iota_in = jnp.tile(
-        jnp.arange(d * d, dtype=jnp.int32)[:, None], (1, E_pad)
+        jnp.arange(n_iota, dtype=jnp.int32)[:, None], (1, E_pad)
     )
 
     def pad_rt(a, fill=0.0):

@@ -97,6 +97,67 @@ def t_sym(a):
     return 0.5 * (a + a.swapaxes(0, 1))
 
 
+def t_mm(A, B):
+    """(d, d, E) @ (d, d, E) with unrolled rank-1 FMAs."""
+    d = A.shape[0]
+    rows = []
+    for i in range(d):
+        cols = []
+        for j in range(d):
+            acc = A[i, 0] * B[0, j]
+            for k in range(1, d):
+                acc = acc + A[i, k] * B[k, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)
+
+
+def t_transpose(a):
+    return a.swapaxes(0, 1)
+
+
+def t_det(a):
+    d = a.shape[0]
+    if d == 2:
+        return a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    return (
+        a[0, 0] * (a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1])
+        - a[0, 1] * (a[1, 0] * a[2, 2] - a[1, 2] * a[2, 0])
+        + a[0, 2] * (a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0])
+    )
+
+
+def t_cof(a):
+    """Cofactor matrix (d, d, E), so inv = cof^T / det."""
+    d = a.shape[0]
+    if d == 2:
+        r0 = jnp.stack([a[1, 1], -a[1, 0]], 0)
+        r1 = jnp.stack([-a[0, 1], a[0, 0]], 0)
+        return jnp.stack([r0, r1], 0)
+
+    def m(i1, j1, i2, j2):
+        return a[i1, j1] * a[i2, j2] - a[i1, j2] * a[i2, j1]
+
+    r0 = jnp.stack([m(1, 1, 2, 2), -m(1, 0, 2, 2), m(1, 0, 2, 1)], 0)
+    r1 = jnp.stack([-m(0, 1, 2, 2), m(0, 0, 2, 2), -m(0, 0, 2, 1)], 0)
+    r2 = jnp.stack([m(0, 1, 1, 2), -m(0, 0, 1, 2), m(0, 0, 1, 1)], 0)
+    return jnp.stack([r0, r1, r2], 0)
+
+
+def t_inv(a):
+    return t_transpose(t_cof(a)) / t_det(a)
+
+
+def t_add_diag(a, s):
+    return t_sub_diag(a, -s)
+
+
+def t_F(gu):
+    """F = I + grad_u without eye constants."""
+    one = jnp.ones_like(gu[0, 0])
+    return t_add_diag(gu, one)
+
+
 class BatchedSmallJ2:
     """Trailing-layout twin of SmallJ2 (models/small_strain.py).
 
@@ -110,6 +171,7 @@ class BatchedSmallJ2:
         self.model = model
         self.dim = model.dim
         self.nc = 3 if self.dim == 2 else 6
+        self.nxi = model.nxi()
         self.abs_tol = model.abs_tol
 
     # shared pieces ------------------------------------------------------
@@ -174,6 +236,8 @@ class BatchedSmallJ2:
         )
 
     # stress measures for the batched mechanics residual -----------------
+    analytic_solve = True
+
     def cauchy(self, xiT, kinT, parT, pT):
         """sigma = dev_cauchy - p I, (d, d, E)."""
         return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
@@ -190,7 +254,172 @@ class BatchedSmallJ2:
     finite_deformation = False
 
 
-BATCHED_MODELS = {"small_J2": BatchedSmallJ2}
+class BatchedHyperJ2:
+    """Trailing-layout twin of HyperJ2 (models/hyper_j2.py, reference
+    hyper_J2.cpp): finite-deformation multiplicative J2 on the isochoric
+    elastic left Cauchy-Green tensor.  The local system is NOT closed
+    form (det(be_bar)=1 constraint + nonlinear hardening), so
+    local_solve runs a fixed-iteration batched Newton with convergence
+    masking; the fused kernel then condenses dxi/dgu implicitly
+    (fem/pallas_assembly.py implicit mode).
+
+    xi packing (8, E): [zeta voigt (6), Ie, alpha]; params (8, E):
+    [E, nu, Y, S, D, A, n, K].
+    """
+
+    name = "hyper_J2"
+    finite_deformation = True
+    analytic_solve = False
+    newton_iters = 16
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 3
+        self.nc = 6
+        self.nxi = 8
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _sigma_yield(self, alpha, parT):
+        Y, S, D, A, n, K = (parT[i] for i in range(2, 8))
+        return (
+            Y
+            + S * (1.0 - jnp.exp(-D * alpha))
+            + A * (alpha + 1e-12) ** n
+            + K * alpha
+        )
+
+    def _be_bar_trial(self, xipT, kinT):
+        zeta_old = t_voigt_to_sym(xipT[: self.nc], 3)
+        Ie_old = xipT[self.nc]
+        F = t_F(kinT.grad_u)
+        F_prev = t_F(kinT.grad_u_prev)
+        rF = t_mm(F, t_inv(F_prev))
+        # cbrt has no Mosaic lowering; dets are positive here
+        rF_bar = rF * jnp.exp(-jnp.log(t_det(rF)) / 3.0)
+        return t_mm(t_mm(rF_bar, t_add_diag(zeta_old, Ie_old)), t_transpose(rF_bar))
+
+    def first_guess(self, xipT, kinT, parT):
+        be_tr = self._be_bar_trial(xipT, kinT)
+        zeta = t_dev3(be_tr)
+        Ie = t_trace(be_tr) / 3.0
+        return jnp.concatenate(
+            [t_sym_to_voigt(zeta, 3), Ie[None, :], xipT[self.nc + 1][None, :]],
+            axis=0,
+        )
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        mu = self._mu(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc + 1]
+        f = (t_norm(mu * zeta) - SQRT_23 * self._sigma_yield(alpha, parT)) / mu
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        """Branchwise C, trailing layout (hyper_J2.cpp evaluate)."""
+        mu = self._mu(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 3)
+        Ie = xiT[self.nc]
+        alpha = xiT[self.nc + 1]
+        alpha_old = xipT[self.nc + 1]
+        be_tr = self._be_bar_trial(xipT, kinT)
+
+        s = mu * zeta
+        s_mag = t_norm(s)
+        f = (s_mag - SQRT_23 * self._sigma_yield(alpha, parT)) / mu
+        n = s / s_mag
+        dgam = SQRT_32 * (alpha - alpha_old)
+
+        dev_tr = t_dev3(be_tr)
+        R_z_p = zeta - dev_tr + (2.0 * dgam * Ie) * n
+        R_Ie_p = t_det(t_add_diag(zeta, Ie)) - 1.0
+        R_a_p = f
+
+        R_z_e = zeta - dev_tr
+        R_Ie_e = Ie - t_trace(be_tr) / 3.0
+        R_a_e = alpha - alpha_old
+
+        w = (path == 1).astype(xiT.dtype)
+        R_z = w * R_z_p + (1.0 - w) * R_z_e
+        R_Ie = w * R_Ie_p + (1.0 - w) * R_Ie_e
+        R_a = w * R_a_p + (1.0 - w) * R_a_e
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_z, 3), R_Ie[None, :], R_a[None, :]], axis=0
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        """Fixed-iteration masked batched Newton (Mosaic cannot lower
+        vector-condition while loops; the iterate freezes per lane on
+        convergence).  rows_io: host-provided (>= nxi, E) iota for the
+        Jacobian one-hot seeds (required inside Pallas kernels)."""
+        import jax
+
+        nxi = self.nxi
+        xi = self.first_guess(xipT, kinT, parT)
+        dtype = xi.dtype
+        E = xi.shape[-1]
+        if rows_io is None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nxi, E), 0)
+        else:
+            rows = rows_io[:nxi]
+        path = self.pathfn(xi, xipT, kinT, parT)
+        done = jnp.zeros(E, dtype) # float mask: 1 = converged
+
+        from calibr8_tpu.utils.smallsolve import gauss_solve_T
+
+        for _ in range(self.newton_iters):
+            path = self.pathfn(xi, xipT, kinT, parT)
+
+            def C(z):
+                return self.residual(z, xipT, kinT, parT, path)
+
+            R, lin = jax.linearize(C, xi)
+            rnorm = jnp.sqrt(usum(R * R, 0))
+            conv = (rnorm < self.abs_tol).astype(dtype)
+            done = jnp.maximum(done, conv)
+            cols = [lin((rows == k).astype(dtype)) for k in range(nxi)]
+            J = jnp.stack(
+                [jnp.stack([cols[k][i] for k in range(nxi)], 0) for i in range(nxi)],
+                0,
+            )
+            dxi = gauss_solve_T(J, -R[:, None, :])[:, 0, :]
+            fin = jnp.isfinite(dxi).astype(dtype)
+            ok = fin[0]
+            for kk in range(1, nxi):
+                ok = ok * fin[kk]
+            xi = xi + ((1.0 - done) * ok) * dxi
+        path = self.pathfn(xi, xipT, kinT, parT)
+        Rf = self.residual(xi, xipT, kinT, parT, path)
+        rnorm = jnp.sqrt(usum(Rf * Rf, 0))
+        failed = (rnorm >= jnp.maximum(self.abs_tol * 10.0, 1e-30)).astype(
+            jnp.int32
+        )
+        return xi, path, failed
+
+    # stress measures ----------------------------------------------------
+    def dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 3)
+        J = t_det(t_F(kinT.grad_u))
+        return (mu / J) * zeta
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu = parT[0], parT[1]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        J = t_det(t_F(kinT.grad_u))
+        return 0.5 * kappa * (J - 1.0 / J)
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+
+BATCHED_MODELS = {"small_J2": BatchedSmallJ2, "hyper_J2": BatchedHyperJ2}
 
 
 def get_batched_model(model):
