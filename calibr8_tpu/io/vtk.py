@@ -72,7 +72,10 @@ def write_vtu(path, mesh, point_data=None, cell_data=None):
 
 
 def write_pvd(basename, prob, traj):
-    """One VTU per step + a PVD collection (main_primal.cpp write_at_step)."""
+    """One VTU per step + a PVD collection (main_primal.cpp write_at_step),
+    including the postprocessed Cauchy stress (eval_cauchy analog)."""
+    from calibr8_tpu.fem.postprocess import eval_cauchy
+
     os.makedirs(os.path.dirname(basename) or ".", exist_ok=True)
     entries = []
     for step, x in enumerate(traj.x):
@@ -81,6 +84,10 @@ def write_pvd(basename, prob, traj):
         if p is not None:
             pd["p"] = np.asarray(p)
         cd = {"xi": np.asarray(traj.xi[step])}
+        x_prev = traj.x[step - 1] if step > 0 else traj.x[0]
+        cd["cauchy"] = np.asarray(
+            eval_cauchy(prob.assembler, x, x_prev, traj.xi[step], prob.params0)
+        )
         if step < len(traj.path):
             cd["path"] = np.asarray(traj.path[step], dtype=float)
         vtu = f"{basename}_{step}.vtu"

@@ -120,3 +120,21 @@ class Mesh:
         assert self.conn.shape[1] == self.dim + 1
         for name, idx in self.node_sets.items():
             assert np.asarray(idx).ndim == 1, name
+
+
+def snap_nodes(mesh, magnitude: float, seed: int = 0, boundary_fixed=True):
+    """Randomly perturb interior mesh nodes by up to `magnitude`
+    (the analog of snap_nodes, reference: source/calibr8/src/snap.cpp) —
+    used to break structured-mesh symmetry in convergence studies.
+    Nodes in any node set stay fixed when boundary_fixed."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    coords = np.asarray(mesh.coords).copy()
+    move = np.ones(coords.shape[0], dtype=bool)
+    if boundary_fixed:
+        for nodes in mesh.node_sets.values():
+            move[np.asarray(nodes)] = False
+    coords[move] += magnitude * rng.uniform(-1, 1, coords[move].shape)
+    mesh.coords = coords
+    return mesh

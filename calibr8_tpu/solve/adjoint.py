@@ -60,7 +60,16 @@ class Adjoint:
         self.assembler = assembler
         self.qoi = qoi
         self.dbcs = dbcs
-        self.linear_cfg = linear_cfg or linear_mod.LinearCfg()
+        cfg = linear_cfg or linear_mod.LinearCfg()
+        # the reference tightens the Belos tolerance for the adjoint and
+        # runs an iterative-refinement loop (adjoint.cpp:41-49,113-180)
+        import dataclasses
+
+        self.linear_cfg = dataclasses.replace(
+            cfg,
+            tol=min(cfg.tol, 1e-8),
+            refine_iters=max(cfg.refine_iters, 2),
+        )
         self._step = jax.jit(self._step_impl)
 
     # -- element-block helpers -----------------------------------------

@@ -38,6 +38,10 @@ class LinearCfg:
     # Teko BGS2x2 + relaxation analog, linear_solve.cpp:36-123) or
     # 'jacobi' point scaling
     preconditioner: str = "block_gs"
+    # iterative-refinement passes (the adjoint solve's refinement loop,
+    # adjoint.cpp:113-180): after each Krylov solve, re-solve for the
+    # residual correction until ||b - A x|| drops below tol * ||b||
+    refine_iters: int = 0
 
 
 def solve(
@@ -85,18 +89,28 @@ def solve(
         def M(v):
             return v / safe_diag
 
-    if method == "cg":
-        x, _ = jax.scipy.sparse.linalg.cg(
-            op, b, tol=cfg.tol, maxiter=cfg.max_iters, M=M
-        )
-    else:
-        x, _ = jax.scipy.sparse.linalg.gmres(
-            op,
-            b,
-            tol=cfg.tol,
-            maxiter=cfg.max_iters,
-            restart=min(cfg.restart, n_dofs),
-            M=M,
-            solve_method="batched",
+    def krylov(rhs):
+        if method == "cg":
+            y, _ = jax.scipy.sparse.linalg.cg(
+                op, rhs, tol=cfg.tol, maxiter=cfg.max_iters, M=M
+            )
+        else:
+            y, _ = jax.scipy.sparse.linalg.gmres(
+                op,
+                rhs,
+                tol=cfg.tol,
+                maxiter=cfg.max_iters,
+                restart=min(cfg.restart, n_dofs),
+                M=M,
+                solve_method="batched",
+            )
+        return y
+
+    x = krylov(b)
+    norm_b = jnp.linalg.norm(b)
+    for _ in range(cfg.refine_iters):
+        r = b - op(x)
+        x = jnp.where(
+            jnp.linalg.norm(r) > cfg.tol * norm_b, x + krylov(r), x
         )
     return x
