@@ -351,53 +351,7 @@ class BatchedHyperJ2:
         )
 
     def local_solve(self, xipT, kinT, parT, rows_io=None):
-        """Fixed-iteration masked batched Newton (Mosaic cannot lower
-        vector-condition while loops; the iterate freezes per lane on
-        convergence).  rows_io: host-provided (>= nxi, E) iota for the
-        Jacobian one-hot seeds (required inside Pallas kernels)."""
-        import jax
-
-        nxi = self.nxi
-        xi = self.first_guess(xipT, kinT, parT)
-        dtype = xi.dtype
-        E = xi.shape[-1]
-        if rows_io is None:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (nxi, E), 0)
-        else:
-            rows = rows_io[:nxi]
-        path = self.pathfn(xi, xipT, kinT, parT)
-        done = jnp.zeros(E, dtype) # float mask: 1 = converged
-
-        from calibr8_tpu.utils.smallsolve import gauss_solve_T
-
-        for _ in range(self.newton_iters):
-            path = self.pathfn(xi, xipT, kinT, parT)
-
-            def C(z):
-                return self.residual(z, xipT, kinT, parT, path)
-
-            R, lin = jax.linearize(C, xi)
-            rnorm = jnp.sqrt(usum(R * R, 0))
-            conv = (rnorm < self.abs_tol).astype(dtype)
-            done = jnp.maximum(done, conv)
-            cols = [lin((rows == k).astype(dtype)) for k in range(nxi)]
-            J = jnp.stack(
-                [jnp.stack([cols[k][i] for k in range(nxi)], 0) for i in range(nxi)],
-                0,
-            )
-            dxi = gauss_solve_T(J, -R[:, None, :])[:, 0, :]
-            fin = jnp.isfinite(dxi).astype(dtype)
-            ok = fin[0]
-            for kk in range(1, nxi):
-                ok = ok * fin[kk]
-            xi = xi + ((1.0 - done) * ok) * dxi
-        path = self.pathfn(xi, xipT, kinT, parT)
-        Rf = self.residual(xi, xipT, kinT, parT, path)
-        rnorm = jnp.sqrt(usum(Rf * Rf, 0))
-        failed = (rnorm >= jnp.maximum(self.abs_tol * 10.0, 1e-30)).astype(
-            jnp.int32
-        )
-        return xi, path, failed
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
 
     # stress measures ----------------------------------------------------
     def dev_cauchy(self, xiT, kinT, parT):
@@ -419,7 +373,192 @@ class BatchedHyperJ2:
         return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
 
 
-BATCHED_MODELS = {"small_J2": BatchedSmallJ2, "hyper_J2": BatchedHyperJ2}
+def t_hill_params(parT, idx):
+    """(F, G, H, L, M, N) from the six R ratios at parT[idx:idx+6]."""
+    R00, R11, R22, R01, R02, R12 = (parT[idx + k] for k in range(6))
+    F = 0.5 * (R11**-2 + R22**-2 - R00**-2)
+    G = 0.5 * (R22**-2 + R00**-2 - R11**-2)
+    H = 0.5 * (R00**-2 + R11**-2 - R22**-2)
+    L = 1.5 * R12**-2
+    M = 1.5 * R02**-2
+    N = 1.5 * R01**-2
+    return F, G, H, L, M, N
+
+
+def t_hill_value(s, hp, eps=1e-30):
+    F, G, H, L, M, N = hp
+    v2 = (
+        F * (s[1, 1] - s[2, 2]) ** 2
+        + G * (s[2, 2] - s[0, 0]) ** 2
+        + H * (s[0, 0] - s[1, 1]) ** 2
+        + 2.0 * (L * s[1, 2] ** 2 + M * s[0, 2] ** 2 + N * s[0, 1] ** 2)
+    )
+    return jnp.sqrt(v2 + eps)
+
+
+def t_hill_normal(s, hp, hval, eps=1e-30):
+    F, G, H, L, M, N = hp
+    n00 = (G + H) * s[0, 0] - H * s[1, 1] - G * s[2, 2]
+    n11 = (F + H) * s[1, 1] - H * s[0, 0] - F * s[2, 2]
+    n22 = (G + F) * s[2, 2] - G * s[0, 0] - F * s[1, 1]
+    n01 = N * s[0, 1]
+    n02 = M * s[0, 2]
+    n12 = L * s[1, 2]
+    r0 = jnp.stack([n00, n01, n02], 0)
+    r1 = jnp.stack([n01, n11, n12], 0)
+    r2 = jnp.stack([n02, n12, n22], 0)
+    return jnp.stack([r0, r1, r2], 0) / jnp.maximum(hval, eps)
+
+
+class BatchedSmallHill:
+    """Trailing-layout twin of SmallHill (models/small_strain.py,
+    reference small_hill.cpp): Hill anisotropic yield on the deviatoric
+    stress, Voce hardening, plastic pstrain-zz equation replaced by
+    incompressibility.  Implicit kernel mode (no closed-form return for
+    anisotropic flow).
+
+    xi (7, E): [pstrain voigt (6), alpha];
+    params (11, E): [E, nu, Y, R00, R11, R22, R01, R02, R12, S, D].
+    """
+
+    name = "small_hill"
+    finite_deformation = False
+    analytic_solve = False
+    newton_iters = 16
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 3
+        self.nc = 6
+        self.nxi = 7
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _voce(self, alpha, parT):
+        Y, S, D = parT[2], parT[9], parT[10]
+        return Y + S * (1.0 - jnp.exp(-D * alpha))
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        ps = t_voigt_to_sym(xiT[: self.nc], 3)
+        return 2.0 * mu * (t_dev3(t_sym(kinT.grad_u)) - ps)
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu = parT[0], parT[1]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        return kappa * t_trace(t_sym(kinT.grad_u))
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+    def _f_and_n(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        alpha = xiT[self.nc]
+        hp = t_hill_params(parT, 3)
+        s = self.dev_cauchy(xiT, kinT, parT)
+        hval = t_hill_value(s, hp)
+        f = (hval - self._voce(alpha, parT)) / mu
+        return f, t_hill_normal(s, hp, hval)
+
+    def first_guess(self, xipT, kinT, parT):
+        return xipT
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        f, _ = self._f_and_n(xiT, kinT, parT)
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        ps = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        ps_old = t_voigt_to_sym(xipT[: self.nc], 3)
+        alpha_old = xipT[self.nc]
+        f, n = self._f_and_n(xiT, kinT, parT)
+        dgam = alpha - alpha_old
+        R_p = ps - ps_old - dgam * n
+        # plastic zz equation -> incompressibility tr(pstrain) = 0
+        # (small_hill.cpp:240)
+        Rp00, Rp11 = R_p[0, 0], R_p[1, 1]
+        Rp22_p = t_trace(ps)
+        R_e = ps - ps_old
+        w = (path == 1).astype(xiT.dtype)
+        r00 = w * Rp00 + (1.0 - w) * R_e[0, 0]
+        r11 = w * Rp11 + (1.0 - w) * R_e[1, 1]
+        r22 = w * Rp22_p + (1.0 - w) * R_e[2, 2]
+        r01 = w * R_p[0, 1] + (1.0 - w) * R_e[0, 1]
+        r02 = w * R_p[0, 2] + (1.0 - w) * R_e[0, 2]
+        r12 = w * R_p[1, 2] + (1.0 - w) * R_e[1, 2]
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.stack([r00, r11, r22, r01, r02, r12, R_a], axis=0)
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+
+def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
+    """Shared fixed-iteration masked batched Newton for implicit-mode
+    twins (Mosaic cannot lower vector-condition while loops)."""
+    import jax
+
+    from calibr8_tpu.utils.smallsolve import gauss_solve_T
+
+    nxi = bm.nxi
+    xi0 = bm.first_guess(xipT, kinT, parT)
+    dtype = xi0.dtype
+    E = xi0.shape[-1]
+    if rows_io is None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nxi, E), 0)
+    else:
+        rows = rows_io[:nxi]
+
+    def body(state):
+        xi, done, it = state
+        path = bm.pathfn(xi, xipT, kinT, parT)
+
+        def C(z):
+            return bm.residual(z, xipT, kinT, parT, path)
+
+        R, lin = jax.linearize(C, xi)
+        rnorm = jnp.sqrt(usum(R * R, 0))
+        done = jnp.maximum(done, (rnorm < bm.abs_tol).astype(dtype))
+        cols = [lin((rows == k).astype(dtype)) for k in range(nxi)]
+        J = jnp.stack(
+            [jnp.stack([cols[k][i] for k in range(nxi)], 0) for i in range(nxi)],
+            0,
+        )
+        dxi = gauss_solve_T(J, -R[:, None, :])[:, 0, :]
+        fin = jnp.isfinite(dxi).astype(dtype)
+        ok = fin[0]
+        for kk in range(1, nxi):
+            ok = ok * fin[kk]
+        return (xi + ((1.0 - done) * ok) * dxi, done, it + 1)
+
+    def cond(state):
+        _, done, it = state
+        # SCALAR while condition: Mosaic lowers these (vector-valued
+        # conditions it does not); early exit once every lane converged
+        return jnp.logical_and(it < bm.newton_iters, jnp.any(done == 0.0))
+
+    xi, done, _ = jax.lax.while_loop(
+        cond, body, (xi0, jnp.zeros(E, dtype), jnp.asarray(0, jnp.int32))
+    )
+    path = bm.pathfn(xi, xipT, kinT, parT)
+    Rf = bm.residual(xi, xipT, kinT, parT, path)
+    rnorm = jnp.sqrt(usum(Rf * Rf, 0))
+    failed = (rnorm >= jnp.maximum(bm.abs_tol * 10.0, 1e-30)).astype(jnp.int32)
+    return xi, path, failed
+
+
+BATCHED_MODELS = {
+    "small_J2": BatchedSmallJ2,
+    "hyper_J2": BatchedHyperJ2,
+    "small_hill": BatchedSmallHill,
+}
 
 
 def get_batched_model(model):
