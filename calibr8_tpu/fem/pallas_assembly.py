@@ -486,18 +486,4 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
     return assemble
 
 
-def ebe_matvec_T(J_T, disc, v):
-    """Matrix-vector product with the element Jacobians kept in the
-    kernel's trailing layout (nde, nde, E_pad) — avoids the (E, nde,
-    nde) relayout entirely.  y = sum_e P_e^T J_e P_e v."""
-    nde = J_T.shape[0]
-    v_eT = disc.gather_elem(v).T  # (nde, n_elem)
-    n_elem = v_eT.shape[1]
-    rows = []
-    for i in range(nde):
-        acc = J_T[i, 0, :n_elem] * v_eT[0]
-        for j in range(1, nde):
-            acc = acc + J_T[i, j, :n_elem] * v_eT[j]
-        rows.append(acc)
-    y_e = jnp.stack(rows, axis=0).T  # (n_elem, nde)
-    return disc.scatter_elem(y_e)
+# trailing-layout EBE matvec lives in fem/assembly.py (ebe_matvec_T)

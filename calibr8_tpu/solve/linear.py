@@ -68,10 +68,17 @@ def solve(
     # the same Dirichlet row elimination to the transposed operator with a
     # zero RHS at constrained rows (eval_adjoint_jacobian + dbcs.cpp with
     # is_adjoint=true): transpose FIRST, then eliminate rows.
-    op_e = J_e.swapaxes(-1, -2) if transpose else J_e
+    trailing = J_e.shape[0] == J_e.shape[1]  # (nde, nde, E_pad) layout
+    if transpose:
+        op_e = J_e.swapaxes(0, 1) if trailing else J_e.swapaxes(-1, -2)
+    else:
+        op_e = J_e
 
     if method == "dense":
-        A = dense_matrix(op_e, edofs, n_dofs)
+        eb = (
+            jnp.moveaxis(op_e, -1, 0)[: edofs.shape[0]] if trailing else op_e
+        )
+        A = dense_matrix(eb, edofs, n_dofs)
         A = apply_dbcs_dense(A, diag, bc_dofs)
         return jnp.linalg.solve(A, b)
 

@@ -94,8 +94,11 @@ class StepSolver:
     def _assemble_impl(self, x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force):
         a = self.assembler
         if self._pallas_assemble is not None:
+            # J_e comes back in the kernel's trailing (nde, nde, E_pad)
+            # layout; the EBE matvec, preconditioner, and dense scatter
+            # all accept it directly (fem/assembly.py:ebe_matvec_disc)
             R, J_e, diag, xi, path, nfail = self._pallas_assemble.assemble_prepared(
-                x, x_prev, xi_prev, params
+                x, x_prev, xi_prev, params, trailing_J=True
             )
             R = R - ext_force
             R_bc = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)

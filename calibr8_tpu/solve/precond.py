@@ -20,26 +20,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from calibr8_tpu.utils.smallsolve import gauss_solve
+from calibr8_tpu.utils.smallsolve import gauss_solve, gauss_solve_T
 
 
 def node_block_diagonal(disc, J_e):
     """Assemble the (n_nodes, ndpn, ndpn) node-diagonal blocks from the
-    element Jacobians: contributions where row-node == col-node."""
+    element Jacobians (elem-first or trailing layout): contributions
+    where row-node == col-node."""
     npe = disc.spec.npe
     ndpn = disc.ndpn
     n_elem = disc.n_elem
+    if J_e.shape[0] == J_e.shape[1]:  # trailing (nde, nde, E_pad)
+        rows = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                J_e[n * ndpn + i, n * ndpn + j, :n_elem]
+                                for j in range(ndpn)
+                            ],
+                            0,
+                        )
+                        for i in range(ndpn)
+                    ],
+                    0,
+                )
+                for n in range(npe)
+            ],
+            0,
+        )  # (npe, ndpn, ndpn, n_elem)
+        rows = rows.reshape(npe, ndpn * ndpn, n_elem)
+        rows = jnp.moveaxis(rows, -1, 0).reshape(n_elem * npe, ndpn * ndpn)
+        return disc.scatter_rows(rows).reshape(disc.n_nodes, ndpn, ndpn)
     Jb = J_e.reshape(n_elem, npe, ndpn, npe, ndpn)
     # per element, per node: the (ndpn, ndpn) self block (row node ==
     # col node); advanced indexing puts the diagonal axis first
     self_blocks = Jb[:, jnp.arange(npe), :, jnp.arange(npe), :]  # (npe, E, ndpn, ndpn)
     self_blocks = jnp.moveaxis(self_blocks, 0, 1)  # (E, npe, ndpn, ndpn)
-    blocks = jax.ops.segment_sum(
-        self_blocks.reshape(n_elem * npe, ndpn, ndpn),
-        disc.conn.reshape(-1),
-        num_segments=disc.n_nodes,
-    )
-    return blocks
+    return disc.scatter_rows(
+        self_blocks.reshape(n_elem * npe, ndpn * ndpn)
+    ).reshape(disc.n_nodes, ndpn, ndpn)
 
 
 class BlockJacobiGS:
@@ -58,21 +79,26 @@ class BlockJacobiGS:
         eye = jnp.eye(disc.ndpn, dtype=J_e.dtype)
         rowsel = bc_nm[:, :, None]  # (n_nodes, ndpn, 1)
         blocks = blocks * (1.0 - rowsel) + rowsel * eye[None, :, :] * D[:, :, None]
-        # u-block (d x d) and pressure scalar
-        self.Au = blocks[:, :d, :d]
-        self.Apu = blocks[:, d:, :d] if disc.spec.mixed else None
+        # trailing layout (d, d, n_nodes): the leading-batch form lands
+        # the tiny d x d matrices on the TPU tiles and runs ~20x slower
+        self.AuT = jnp.moveaxis(blocks[:, :d, :d], 0, -1)
+        self.ApuT = (
+            jnp.moveaxis(blocks[:, d, :d], 0, -1) if disc.spec.mixed else None
+        )  # (d, n_nodes)
         self.app = blocks[:, d, d] if disc.spec.mixed else None
         self.d = d
 
     def __call__(self, r):
         disc = self.disc
         d = self.d
-        R = disc.nodemat(r)  # (n_nodes, ndpn)
-        zu = gauss_solve(self.Au, R[:, :d])
+        RT = disc.nodemat(r).T  # (ndpn, n_nodes)
+        zuT = gauss_solve_T(self.AuT, RT[:d][:, None, :])[:, 0, :]  # (d, N)
         if disc.spec.mixed:
-            rp = R[:, d] - jnp.einsum("nij,nj->ni", self.Apu, zu)[:, 0]
+            rp = RT[d]
+            for j in range(d):
+                rp = rp - self.ApuT[j] * zuT[j]
             zp = rp / jnp.where(jnp.abs(self.app) > 1e-300, self.app, 1.0)
-            Z = jnp.concatenate([zu, zp[:, None]], axis=1)
+            Z = jnp.concatenate([zuT, zp[None, :]], axis=0).T
         else:
-            Z = zu
+            Z = zuT.T
         return disc.nodemat_to_flat(Z)
