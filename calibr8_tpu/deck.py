@@ -145,11 +145,18 @@ class ProblemSpec:
         {method, tolerance, maximum iterations} and the reference's
         Stratimikos tree (Belos Block GMRES settings are extracted)."""
         la = self.sub("linear algebra")
-        out = {"method": "auto", "tolerance": 1e-6, "maximum iterations": 200}
+        out = {
+            "method": "auto",
+            "tolerance": 1e-6,
+            "maximum iterations": 200,
+            "preconditioner": "block_gs",
+        }
         if not la:
             return out
         if "method" in la:
             out["method"] = la["method"]
+        if "preconditioner" in la:
+            out["preconditioner"] = la["preconditioner"]
         if "tolerance" in la:
             out["tolerance"] = float(la["tolerance"])
         if "maximum iterations" in la:

@@ -67,17 +67,16 @@ class Assembler:
         )
 
     # -- local constitutive solve --------------------------------------
-    def local_solve(self, x, x_prev, xi_prev, params_all):
-        """Solve C = 0 at every integration point.
-
-        Returns LocalSolveResult with fields batched over elements.
-        The vmap runs with the element axis minor-most (TPU lanes).
-        """
+    def local_solve_from_elems(self, x_e, xp_e, xi_prev, pars, grad_N):
+        """local_solve on explicit element arrays (x_e (n, nde), ...) —
+        shared by the global-gather path and the distributed
+        (halo-gathered) path (parallel/dist.py)."""
         from calibr8_tpu.models.base import Kinematics
         from calibr8_tpu.models.newton import LocalSolveResult
 
-        kin = self.kinematics(x, x_prev)
-        pars = self.params_per_elem(params_all)
+        kin = jax.vmap(elem_kinematics, in_axes=(None, 0, 0, 0))(
+            self.spec, x_e, xp_e, grad_N
+        )
         kin_T = Kinematics(
             grad_u=jnp.moveaxis(kin.grad_u, 0, -1),
             grad_u_prev=jnp.moveaxis(kin.grad_u_prev, 0, -1),
@@ -89,6 +88,20 @@ class Assembler:
         )(xi_prev.T, kin_T, pars.T)
         return LocalSolveResult(
             xi=res.xi.T, path=res.path, failed=res.failed, iters=res.iters
+        )
+
+    def local_solve(self, x, x_prev, xi_prev, params_all):
+        """Solve C = 0 at every integration point.
+
+        Returns LocalSolveResult with fields batched over elements.
+        The vmap runs with the element axis minor-most (TPU lanes).
+        """
+        return self.local_solve_from_elems(
+            self.gather(x),
+            self.gather(x_prev),
+            xi_prev,
+            self.params_per_elem(params_all),
+            self.disc.grad_N,
         )
 
     # -- residual ------------------------------------------------------
@@ -110,17 +123,18 @@ class Assembler:
         return self.disc.scatter_elem(R_e)
 
     # -- condensed element Jacobian ------------------------------------
-    def residual_and_jacobian(self, x, x_prev, xi, xi_prev, path, params_all):
-        """Returns (R (n_dofs,), J_e (n_elem, nde, nde), diag (n_dofs,)).
+    def make_rj_kernel(self):
+        """Build the trailing-layout fused residual+Jacobian kernel.
 
-        J_e is the statically condensed total element Jacobian
-        dR/dx + dR/dxi * dxi/dx with the local branch forced to `path`.
+        Returns f(x_eT (nde, n), xp_eT, xiT (nxi, n), xipT, path (n,),
+        gN_T (npe, d, n), detJ (n,), h (n,), parsT) -> (R_eT (nde, n),
+        J_T (nde, nde, n)) — the statically condensed total element
+        Jacobian dR/dx + dR/dxi dxi/dx with the local branch forced to
+        `path`.  Shared by the single-chip path (residual_and_jacobian)
+        and the domain-decomposed path (parallel/dist.py).
         """
-        x_e = self.gather(x)
-        xp_e = self.gather(x_prev)
-        pars = self.params_per_elem(params_all)
         model, spec = self.model, self.spec
-
+        elem_res = self.elem_res
         nxi = self.nxi
         nde = self.spec.ndofs_elem
 
@@ -134,7 +148,7 @@ class Assembler:
             if not model.needs_local_newton():
 
                 def R(xe__):
-                    return self.elem_res(xe__, xp_e_, xi_, geom, par)
+                    return elem_res(xe__, xp_e_, xi_, geom, par)
 
                 R0, Rlin = jax.linearize(R, x_e_)
                 J = jax.vmap(Rlin, in_axes=1, out_axes=1)(
@@ -152,7 +166,7 @@ class Assembler:
                 xe__ = v[nxi:]
                 kin = elem_kinematics(spec, xe__, xp_e_, gN)
                 C = model.residual(xi__, xip_, kin, par, path_)
-                R = self.elem_res(xe__, xp_e_, xi__, geom, par)
+                R = elem_res(xe__, xp_e_, xi__, geom, par)
                 return jnp.concatenate([C, R])
 
             v0 = jnp.concatenate([xi_, x_e_])
@@ -162,7 +176,124 @@ class Assembler:
             )
             return G0, JG
 
-        G0_T, JG_T = jax.vmap(one, in_axes=(-1, -1, -1, -1, 0, -1, 0, 0, -1), out_axes=(-1, -1))(
+        vone = jax.vmap(
+            one,
+            in_axes=(-1, -1, -1, -1, 0, -1, 0, 0, -1),
+            out_axes=(-1, -1),
+        )
+
+        def kernel(x_eT, xp_eT, xiT, xipT, path, gN_T, detJ, h, parsT):
+            G0_T, JG_T = vone(
+                x_eT, xp_eT, xiT, xipT, path, gN_T, detJ, h, parsT
+            )
+            if not model.needs_local_newton():
+                return G0_T, JG_T
+            # static condensation entirely in trailing layout (the full
+            # (nxi+nde)^2-per-element JG never gets relayouted):
+            # J = dR/dx - dR/dxi (dC/dxi)^{-1} dC/dx
+            dC_dxi_T = JG_T[:nxi, :nxi]
+            dC_dx_T = JG_T[:nxi, nxi:]
+            dR_dxi_T = JG_T[nxi:, :nxi]
+            dR_dx_T = JG_T[nxi:, nxi:]
+            R_eT = G0_T[nxi:, :]
+            dxi_dx_T = -gauss_solve_T(dC_dxi_T, dC_dx_T)
+            J_T = dR_dx_T + jnp.einsum("ike,kje->ije", dR_dxi_T, dxi_dx_T)
+            return R_eT, J_T
+
+        return kernel
+
+    def make_adjoint_blocks_kernel(self):
+        """Trailing-layout fused kernel for ALL adjoint element blocks.
+
+        ONE linearization over v = [xi, x_e, xp_e, xi_prev, p] of
+        G = [C; R] yields every block the backward sweep needs
+        (dC/dxi, dC/dx_prev, dC/dxi_prev, dC/dp, dR/dxi, dR/dp, and the
+        condensed transposed operator) with a single primal evaluation
+        and 2 nxi + 2 nde + n_p tangent passes — replacing the
+        reference's five separate FADT seedings (eval_adjoint_jacobian
+        evaluations.cpp:349-520, solve_adjoint_local :528-655,
+        eval_qoi_gradient :758-930) and the previous 8-jacfwd form,
+        which ran element-axis-first (~20x slower tangent passes).
+
+        Returns f(x_eT (nde,n), xp_eT, xiT (nxi,n), xipT, path (n,),
+        gN_T (npe,d,n), detJ (n,), h (n,), parsT (np,n)) -> dict of
+        trailing-layout blocks.
+        """
+        model, spec = self.model, self.spec
+        elem_res = self.elem_res
+        nxi = self.nxi
+        nde = self.spec.ndofs_elem
+
+        def one(x_e_, xp_e_, xi_, xip_, path_, gN, dJ, h, par):
+            geom = (gN, dJ, h)
+            n_p = par.shape[0]
+
+            def G(v):
+                xi__ = v[:nxi]
+                xe__ = v[nxi : nxi + nde]
+                xpe__ = v[nxi + nde : nxi + 2 * nde]
+                xip__ = v[nxi + 2 * nde : 2 * nxi + 2 * nde]
+                p__ = v[2 * nxi + 2 * nde :]
+                kin = elem_kinematics(spec, xe__, xpe__, gN)
+                C = model.residual(xi__, xip__, kin, p__, path_)
+                R = elem_res(xe__, xpe__, xi__, geom, p__)
+                return jnp.concatenate([C, R])
+
+            v0 = jnp.concatenate([xi_, x_e_, xp_e_, xip_, par])
+            _, JG = jax.linearize(G, v0)
+            m = 2 * nxi + 2 * nde + n_p
+            return jax.vmap(JG, in_axes=1, out_axes=1)(
+                jnp.eye(m, dtype=v0.dtype)
+            )
+
+        vone = jax.vmap(
+            one,
+            in_axes=(-1, -1, -1, -1, 0, -1, 0, 0, -1),
+            out_axes=-1,
+        )
+
+        def kernel(x_eT, xp_eT, xiT, xipT, path, gN_T, detJ, h, parsT):
+            JG_T = vone(x_eT, xp_eT, xiT, xipT, path, gN_T, detJ, h, parsT)
+            c0, c1, c2, c3 = nxi, nxi + nde, nxi + 2 * nde, 2 * nxi + 2 * nde
+            dC_dxi_T = JG_T[:nxi, :c0]
+            dC_dx_T = JG_T[:nxi, c0:c1]
+            dC_dxprev_T = JG_T[:nxi, c1:c2]
+            dC_dxiprev_T = JG_T[:nxi, c2:c3]
+            dC_dp_T = JG_T[:nxi, c3:]
+            dR_dxi_T = JG_T[nxi:, :c0]
+            dR_dx_T = JG_T[nxi:, c0:c1]
+            dR_dp_T = JG_T[nxi:, c3:]
+            # static condensation in trailing layout
+            dxi_dx_T = -gauss_solve_T(dC_dxi_T, dC_dx_T)
+            J_total_T = dR_dx_T + jnp.einsum(
+                "ike,kje->ije", dR_dxi_T, dxi_dx_T
+            )
+            return dict(
+                dC_dxi_T=dC_dxi_T,
+                dC_dxprev_T=dC_dxprev_T,
+                dC_dxiprev_T=dC_dxiprev_T,
+                dC_dp_T=dC_dp_T,
+                dR_dxi_T=dR_dxi_T,
+                dR_dp_T=dR_dp_T,
+                dxi_dx_T=dxi_dx_T,
+                J_total_T=J_total_T,
+            )
+
+        return kernel
+
+    def residual_and_jacobian(self, x, x_prev, xi, xi_prev, path, params_all):
+        """Returns (R (n_dofs,), J_e (n_elem, nde, nde), diag (n_dofs,)).
+
+        J_e is the statically condensed total element Jacobian
+        dR/dx + dR/dxi * dxi/dx with the local branch forced to `path`.
+        """
+        x_e = self.gather(x)
+        xp_e = self.gather(x_prev)
+        pars = self.params_per_elem(params_all)
+
+        if getattr(self, "_rj_kernel", None) is None:
+            self._rj_kernel = self.make_rj_kernel()
+        R_eT, J_T = self._rj_kernel(
             x_e.T,
             xp_e.T,
             xi.T,
@@ -173,22 +304,8 @@ class Assembler:
             self.disc.h,
             pars.T,
         )
-
-        if not model.needs_local_newton():
-            R_e = G0_T.T
-            J_e = jnp.moveaxis(JG_T, -1, 0)
-        else:
-            # static condensation entirely in trailing layout (the full
-            # (nxi+nde)^2-per-element JG never gets relayouted):
-            # J = dR/dx - dR/dxi (dC/dxi)^{-1} dC/dx
-            dC_dxi_T = JG_T[:nxi, :nxi]
-            dC_dx_T = JG_T[:nxi, nxi:]
-            dR_dxi_T = JG_T[nxi:, :nxi]
-            dR_dx_T = JG_T[nxi:, nxi:]
-            R_e = G0_T[nxi:, :].T
-            dxi_dx_T = -gauss_solve_T(dC_dxi_T, dC_dx_T)
-            J_T = dR_dx_T + jnp.einsum("ike,kje->ije", dR_dxi_T, dxi_dx_T)
-            J_e = jnp.moveaxis(J_T, -1, 0)
+        R_e = R_eT.T
+        J_e = jnp.moveaxis(J_T, -1, 0)
 
         R = self.disc.scatter_elem(R_e)
         diag = self.disc.scatter_elem(jnp.diagonal(J_e, axis1=1, axis2=2))

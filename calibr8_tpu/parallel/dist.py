@@ -1,0 +1,731 @@
+"""Domain-decomposed solves: sharded DOF vectors + halo exchange.
+
+This is the scalable multi-chip path — the true analog of the
+reference's parallel story (one mesh part per MPI rank, ghost-overlap
+assembly, Tpetra Import/Export halo maps, Export-ADD reductions;
+reference: source/calibr8/src/linear_alg.hpp:15-53, disc.cpp:293-321).
+
+Layout:
+  * DOF vectors are (n_parts, N_own, ndpn) node matrices, sharded over
+    the 'parts' mesh axis — each device holds ONLY the nodes its part
+    owns (plus static padding).  Memory per device is O(N / n_parts).
+  * Element arrays (connectivity, geometry, local state, element
+    Jacobians) are (n_parts, E_loc, ...), sharded the same way.
+  * The halo exchange is one jax.lax.all_to_all over the precomputed
+    pairwise slot maps (parallel/partition.py): owned -> ghost copies
+    (the Tpetra Import) before element gathers, and the reverse
+    ghost-contribution reduction onto owners (the Export-ADD) after
+    element scatters.  On TPU hardware these collectives ride ICI.
+  * Krylov vectors stay sharded end-to-end; dot products are plain
+    jnp.vdot on the sharded global view (XLA inserts the psum).
+
+The per-element kernels are the SAME pure functions as the single-chip
+path (fem/assembly.py make_rj_kernel, models/newton.py local solver) —
+only the gather/scatter boundary differs, exactly as the reference
+shares its element loop between serial and MPI runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace as dc_replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from calibr8_tpu.parallel.partition import Partition, build_partition
+from calibr8_tpu.solve import linear as linear_mod
+from calibr8_tpu.solve.newton import NewtonCfg, StepSolver
+from calibr8_tpu.utils.smallsolve import gauss_solve, gauss_solve_T
+
+
+class DistContext:
+    """Sharded discretization + halo-exchange kernels for one Problem."""
+
+    def __init__(self, prob, n_parts=None, devices=None, pad_multiple=8):
+        self.prob = prob
+        disc = prob.disc
+        self.disc = disc
+        if devices is None:
+            devices = jax.devices()
+        if n_parts is None:
+            n_parts = len(devices)
+        self.mesh = Mesh(np.asarray(devices[:n_parts]), ("parts",))
+        part = build_partition(
+            np.asarray(disc.conn),
+            np.asarray(disc.coords),
+            n_parts,
+            pad_multiple=pad_multiple,
+        )
+        self.part = part
+        self.dtype = disc.dtype
+        self.ndpn = disc.ndpn
+        self.npe = disc.spec.npe
+        self.nde = disc.spec.ndofs_elem
+        self.nxi = prob.assembler.nxi
+
+        sh = NamedSharding(self.mesh, P("parts"))
+        self._shard = sh
+        rep = NamedSharding(self.mesh, P())
+        self._rep = rep
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), sh)
+
+        # element selection (padding -> element 0 with zeroed geometry)
+        emask = part.elems >= 0
+        esel = np.where(emask, part.elems, 0)
+        self._emask = emask
+        self._esel = esel
+        m = emask.astype(np.float64)
+        self.conn = put(part.conn_local.astype(np.int32))
+        self.gN = put(np.asarray(disc.grad_N)[esel] * m[..., None, None])
+        self.detJ = put(np.asarray(disc.detJ)[esel] * m)
+        self.h = put(np.where(emask, np.asarray(disc.h)[esel], 1.0))
+        self.es = put(np.where(emask, np.asarray(disc.es_ids)[esel], 0))
+        self.send = put(part.send_slots)
+        self.recv = put(part.recv_slots)
+
+        # owned-node selection (padding -> node 0, masked to zero)
+        omask = part.own_nodes >= 0
+        self._omask = omask
+        self._osel = np.where(omask, part.own_nodes, 0)
+        self.own_mask = put(omask)  # (P, N_own) bool
+
+        self._build_kernels()
+
+    # -- layout converters (host side) ----------------------------------
+    def to_dist(self, x):
+        """Flat (n_dofs,) -> sharded (P, N_own, ndpn)."""
+        X = self.disc.nodemat(jnp.asarray(x, self.dtype))
+        Xd = jnp.asarray(X)[self._osel] * self._omask[..., None]
+        return jax.device_put(Xd, self._shard)
+
+    def from_dist(self, Xd):
+        """Sharded (P, N_own, ndpn) -> flat (n_dofs,) (gathers to host)."""
+        Xd = np.asarray(Xd)
+        out = np.zeros((self.part.n_nodes, self.ndpn))
+        out[self.part.own_nodes[self._omask]] = Xd[self._omask]
+        return self.disc.nodemat_to_flat(jnp.asarray(out, self.dtype))
+
+    def from_dist_device(self, Xd):
+        """Pure-jnp dist -> flat scatter (differentiable; used where a
+        global view is needed, e.g. QoI evaluation in the adjoint)."""
+        own = jnp.asarray(self._osel).reshape(-1)
+        w = jnp.asarray(self._omask, Xd.dtype).reshape(-1, 1)
+        X = jnp.zeros((self.part.n_nodes, self.ndpn), Xd.dtype)
+        X = X.at[own].add(Xd.reshape(-1, self.ndpn) * w)
+        return self.disc.nodemat_to_flat(X)
+
+    def to_dist_elem(self, a, fill=0.0):
+        """(n_elem, ...) -> sharded (P, E_loc, ...)."""
+        a = np.asarray(a)
+        out = a[self._esel].copy()
+        out[~self._emask] = fill
+        return jax.device_put(jnp.asarray(out), self._shard)
+
+    def from_dist_elem(self, A):
+        A = np.asarray(A)
+        out = np.zeros((self.disc.n_elem,) + A.shape[2:], A.dtype)
+        out[self.part.elems[self._emask]] = A[self._emask]
+        return jnp.asarray(out)
+
+    def from_dist_elem_device(self, A):
+        """Pure-jnp dist element array -> global element order."""
+        sel = jnp.asarray(self._esel).reshape(-1)
+        w = jnp.asarray(self._emask, A.dtype).reshape(
+            (-1,) + (1,) * (A.ndim - 2)
+        )
+        flat = A.reshape((-1,) + A.shape[2:]) * w
+        out = jnp.zeros((self.disc.n_elem,) + A.shape[2:], A.dtype)
+        return out.at[sel].add(flat)
+
+    def bc_dist(self, bc_dofs, bc_vals):
+        """Flat DBC dof/value arrays -> (mask (P,N_own,ndpn) bool, vals)."""
+        n = self.disc.n_dofs
+        m = jnp.zeros(n, self.dtype).at[bc_dofs].set(1.0)
+        g = jnp.zeros(n, self.dtype).at[bc_dofs].set(bc_vals)
+        return self.to_dist(m) > 0.5, self.to_dist(g)
+
+    def zeros(self):
+        return jax.device_put(
+            jnp.zeros((self.part.n_parts, self.part.N_own, self.ndpn), self.dtype),
+            self._shard,
+        )
+
+    def init_xi_dist(self):
+        """Initial local state for every (padded) local element."""
+        row = np.asarray(self.prob.assembler.model.init_xi(), np.float64)
+        out = np.tile(row[None, None, :], (self.part.n_parts, self.part.E_loc, 1))
+        return jax.device_put(jnp.asarray(out, self.dtype), self._shard)
+
+    # -- shard_map kernels ----------------------------------------------
+    def _build_kernels(self):
+        part = self.part
+        N_own, N_loc, H = part.N_own, part.N_loc, part.H
+        nparts = part.n_parts
+        E, npe, ndpn, nde = part.E_loc, self.npe, self.ndpn, self.nde
+        assembler = self.prob.assembler
+        rj_kernel = assembler.make_rj_kernel()
+        mesh = self.mesh
+
+        def gather(x_own, send, recv):
+            """Owned block -> local [owned | ghost] block (Tpetra Import)."""
+            c = x_own.shape[-1]
+            xp = jnp.concatenate(
+                [x_own, jnp.zeros((1, c), x_own.dtype)], axis=0
+            )
+            buf = xp[send]  # (nparts, H, c): what I send to each part
+            out = jax.lax.all_to_all(buf, "parts", 0, 0, tiled=True)
+            x_loc = jnp.zeros((N_loc + 1, c), x_own.dtype)
+            x_loc = x_loc.at[:N_own].set(x_own)
+            # .add, not .set: every real ghost slot receives exactly one
+            # value (padding slots collide on the dummy row with zeros),
+            # and scatter-add is transposable — custom_linear_solve
+            # (gmres) requires a transposable operator.
+            x_loc = x_loc.at[recv.reshape(-1)].add(out.reshape(-1, c))
+            return x_loc[:N_loc]
+
+        def scatter_add(y_loc, send, recv):
+            """Ghost contributions reduced onto owners (Export-ADD)."""
+            c = y_loc.shape[-1]
+            yp = jnp.concatenate(
+                [y_loc, jnp.zeros((1, c), y_loc.dtype)], axis=0
+            )
+            buf = yp[recv]  # ghost contribs grouped by owning part
+            out = jax.lax.all_to_all(buf, "parts", 0, 0, tiled=True)
+            y_own = jnp.concatenate(
+                [y_loc[:N_own], jnp.zeros((1, c), y_loc.dtype)], axis=0
+            )
+            y_own = y_own.at[send.reshape(-1)].add(out.reshape(-1, c))
+            return y_own[:N_own]
+
+        def local_scatter(rows_e, conn):
+            """(E, nde) element values -> (N_loc, ndpn) local node sums."""
+            rows = rows_e.reshape(E * npe, ndpn)
+            return jax.ops.segment_sum(
+                rows, conn.reshape(-1), num_segments=N_loc
+            )
+
+        def ebe_T(J_T, v_eT):
+            """Trailing-layout element matvec as lane-aligned FMAs."""
+            rows = []
+            for i in range(nde):
+                acc = J_T[i, 0] * v_eT[0]
+                for j in range(1, nde):
+                    acc = acc + J_T[i, j] * v_eT[j]
+                rows.append(acc)
+            return jnp.stack(rows, axis=0)
+
+        # check_vma=False: the element kernels linearize with replicated
+        # eye() seeds against device-varying primals, which the varying
+        # manual-axes checker rejects; collectives here are explicit
+        # (all_to_all / psum), so the automatic check buys nothing.
+        sm = partial(jax.shard_map, mesh=mesh, check_vma=False)
+        pp = P("parts")
+
+        @partial(
+            sm,
+            in_specs=(pp, pp, pp, P(), pp, pp, pp, pp, pp, pp, pp),
+            out_specs=(pp, pp, pp, pp, pp, P()),
+        )
+        def assemble_sm(
+            x_own, xp_own, xi_prev, params, conn, gN, detJ, h, es, send, recv
+        ):
+            x_own, xp_own, xi_prev = x_own[0], xp_own[0], xi_prev[0]
+            conn, gN, detJ, h, es = conn[0], gN[0], detJ[0], h[0], es[0]
+            send, recv = send[0], recv[0]
+            x_loc = gather(x_own, send, recv)
+            xp_loc = gather(xp_own, send, recv)
+            x_e = x_loc[conn].reshape(E, nde)
+            xp_e = xp_loc[conn].reshape(E, nde)
+            pars = params[es]
+            loc = assembler.local_solve_from_elems(
+                x_e, xp_e, xi_prev, pars, gN
+            )
+            R_eT, J_T = rj_kernel(
+                x_e.T,
+                xp_e.T,
+                loc.xi.T,
+                xi_prev.T,
+                loc.path,
+                jnp.moveaxis(gN, 0, -1),
+                detJ,
+                h,
+                pars.T,
+            )
+            R_own = scatter_add(local_scatter(R_eT.T, conn), send, recv)
+            dg = jnp.stack([J_T[i, i] for i in range(nde)], axis=0)  # (nde, E)
+            diag_own = scatter_add(local_scatter(dg.T, conn), send, recv)
+            nfail = jax.lax.psum(jnp.sum(loc.failed), "parts")
+            return (
+                R_own[None],
+                J_T[None],
+                diag_own[None],
+                loc.xi[None],
+                loc.path[None],
+                nfail,
+            )
+
+        @partial(sm, in_specs=(pp, pp, pp, pp, pp), out_specs=pp)
+        def matvec_sm(J_T, v_own, conn, send, recv):
+            J_T, v_own = J_T[0], v_own[0]
+            conn, send, recv = conn[0], send[0], recv[0]
+            v_loc = gather(v_own, send, recv)
+            v_eT = v_loc[conn].reshape(E, nde).T
+            y_eT = ebe_T(J_T, v_eT)
+            y_own = scatter_add(local_scatter(y_eT.T, conn), send, recv)
+            return y_own[None]
+
+        @partial(sm, in_specs=(pp, pp, pp, pp), out_specs=pp)
+        def node_blocks_sm(J_T, conn, send, recv):
+            """Node-diagonal (ndpn x ndpn) blocks of the assembled
+            operator (for the block Jacobi/GS preconditioner)."""
+            J_T, conn = J_T[0], conn[0]
+            send, recv = send[0], recv[0]
+            rows = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    J_T[n * ndpn + i, n * ndpn + j]
+                                    for j in range(ndpn)
+                                ],
+                                0,
+                            )
+                            for i in range(ndpn)
+                        ],
+                        0,
+                    )
+                    for n in range(npe)
+                ],
+                0,
+            )  # (npe, ndpn, ndpn, E)
+            rows = jnp.moveaxis(rows.reshape(npe, ndpn * ndpn, E), -1, 0)
+            rows = rows.reshape(E * npe, ndpn * ndpn)
+            y_loc = jax.ops.segment_sum(
+                rows, conn.reshape(-1), num_segments=N_loc
+            )
+            blocks = scatter_add(y_loc, send, recv)
+            return blocks.reshape(1, N_own, ndpn, ndpn)
+
+        adjoint_blocks = assembler.make_adjoint_blocks_kernel()
+
+        @partial(
+            sm,
+            in_specs=(pp, pp, pp, pp, pp, P(), pp, pp, pp, pp, pp, pp),
+            out_specs=pp,
+        )
+        def blocks_sm(
+            x_own, xp_own, xi, xi_prev, path, params,
+            conn, gN, detJ, h, es, send_recv,
+        ):
+            send, recv = send_recv[0, 0], send_recv[0, 1]
+            x_own, xp_own = x_own[0], xp_own[0]
+            xi, xi_prev, path = xi[0], xi_prev[0], path[0]
+            conn, gN, detJ, h, es = conn[0], gN[0], detJ[0], h[0], es[0]
+            x_loc = gather(x_own, send, recv)
+            xp_loc = gather(xp_own, send, recv)
+            x_e = x_loc[conn].reshape(E, nde)
+            xp_e = xp_loc[conn].reshape(E, nde)
+            pars = params[es]
+            B = adjoint_blocks(
+                x_e.T,
+                xp_e.T,
+                xi.T,
+                xi_prev.T,
+                path,
+                jnp.moveaxis(gN, 0, -1),
+                detJ,
+                h,
+                pars.T,
+            )
+            return {k: v[None] for k, v in B.items()}
+
+        @partial(sm, in_specs=(pp, pp, pp), out_specs=pp)
+        def gather_elem_sm(v_own, conn, send_recv):
+            send, recv = send_recv[0, 0], send_recv[0, 1]
+            v_loc = gather(v_own[0], send, recv)
+            return v_loc[conn[0]].reshape(1, E, nde)
+
+        @partial(sm, in_specs=(pp, pp, pp), out_specs=pp)
+        def scatter_elem_sm(rows_e, conn, send_recv):
+            send, recv = send_recv[0, 0], send_recv[0, 1]
+            y = scatter_add(local_scatter(rows_e[0], conn[0]), send, recv)
+            return y[None]
+
+        self._assemble_sm = assemble_sm
+        self._matvec_sm = matvec_sm
+        self._node_blocks_sm = node_blocks_sm
+        self._blocks_sm = blocks_sm
+        self._gather_elem_sm = gather_elem_sm
+        self._scatter_elem_sm = scatter_elem_sm
+        self._send_recv = jnp.stack([self.send, self.recv], axis=1)
+
+    # -- public device ops ------------------------------------------------
+    def assemble(self, Xd, Xd_prev, xi_prev, params):
+        """Returns (R, J_T (P, nde, nde, E), diag, xi, path, nfail)."""
+        return self._assemble_sm(
+            Xd,
+            Xd_prev,
+            xi_prev,
+            params,
+            self.conn,
+            self.gN,
+            self.detJ,
+            self.h,
+            self.es,
+            self.send,
+            self.recv,
+        )
+
+    def matvec(self, J_T, Vd):
+        return self._matvec_sm(J_T, Vd, self.conn, self.send, self.recv)
+
+    def node_blocks(self, J_T):
+        return self._node_blocks_sm(J_T, self.conn, self.send, self.recv)
+
+    def adjoint_blocks(self, Xd, XPd, xi, xi_prev, path, params):
+        """All adjoint element blocks, sharded, trailing layout within
+        each part: e.g. dC_dxi_T (P, nxi, nxi, E_loc)."""
+        return self._blocks_sm(
+            Xd, XPd, xi, xi_prev, path, params,
+            self.conn, self.gN, self.detJ, self.h, self.es, self._send_recv,
+        )
+
+    def gather_elem(self, Vd):
+        """Sharded DOFs -> sharded element dof values (P, E, nde)."""
+        return self._gather_elem_sm(Vd, self.conn, self._send_recv)
+
+    def scatter_elem(self, rows):
+        """(P, E, nde) element values -> assembled sharded DOFs."""
+        return self._scatter_elem_sm(rows, self.conn, self._send_recv)
+
+    # -- linear solve ------------------------------------------------------
+    def make_precond(self, J_T, diag, bc_mask):
+        blocks = self.node_blocks(J_T)  # (P, N_own, ndpn, ndpn)
+        d = self.disc.spec.dim
+        ndpn = self.ndpn
+        eye = jnp.eye(ndpn, dtype=blocks.dtype)
+        # Dirichlet rows -> unit row * assembled diagonal; padded owned
+        # slots -> identity
+        rowsel = bc_mask.astype(blocks.dtype)[..., None]  # (P, N, ndpn, 1)
+        blocks = blocks * (1.0 - rowsel) + rowsel * eye * diag[..., None]
+        padsel = (~self.own_mask).astype(blocks.dtype)[..., None, None]
+        blocks = blocks * (1.0 - padsel) + padsel * eye
+        Au_inv = gauss_solve(
+            blocks[..., :d, :d],
+            jnp.broadcast_to(
+                jnp.eye(d, dtype=blocks.dtype), blocks[..., :d, :d].shape
+            ),
+            pivot=True,
+        )
+        if self.disc.spec.mixed:
+            Apu = blocks[..., d, :d]  # (P, N, d)
+            app = blocks[..., d, d]
+            app = jnp.where(jnp.abs(app) > 1e-300, app, 1.0)
+        else:
+            Apu = app = None
+
+        def M(r):
+            zu = jnp.einsum("pnij,pnj->pni", Au_inv, r[..., :d])
+            if Apu is None:
+                return zu
+            rp = r[..., d] - jnp.einsum("pnj,pnj->pn", Apu, zu)
+            zp = rp / app
+            return jnp.concatenate([zu, zp[..., None]], axis=-1)
+
+        return M
+
+    def solve_linear(self, cfg, J_T, diag, b, bc_mask):
+        """Solve J x = b with Dirichlet rows diag * x_row = b_row, all
+        vectors sharded.  transpose is handled by swapping J_T's element
+        row/col axes (same trick as the single-chip path).  The whole
+        solve is jitted once per LinearCfg (the shard_map matvec would
+        otherwise be re-traced every Krylov call)."""
+        key = cfg
+        fn = self._lin_cache.get(key) if hasattr(self, "_lin_cache") else None
+        if not hasattr(self, "_lin_cache"):
+            self._lin_cache = {}
+        if fn is None:
+            fn = jax.jit(partial(self._solve_linear_impl, cfg))
+            self._lin_cache[key] = fn
+        return fn(J_T, diag, b, bc_mask)
+
+    def _solve_linear_impl(self, cfg, J_T, diag, b, bc_mask):
+        def op(v):
+            out = self.matvec(J_T, v)
+            return jnp.where(bc_mask, diag * v, out)
+
+        M = self.make_precond(J_T, diag, bc_mask)
+        method = cfg.method
+        if method in ("auto", "dense"):
+            method = "gmres"
+        n = int(np.prod(b.shape))
+
+        def krylov(rhs):
+            if method == "cg":
+                y, _ = jax.scipy.sparse.linalg.cg(
+                    op, rhs, tol=cfg.tol, maxiter=cfg.max_iters, M=M
+                )
+            else:
+                y, _ = jax.scipy.sparse.linalg.gmres(
+                    op,
+                    rhs,
+                    tol=cfg.tol,
+                    maxiter=cfg.max_iters,
+                    restart=min(cfg.restart, n),
+                    M=M,
+                    solve_method="batched",
+                )
+            return y
+
+        x = krylov(b)
+        norm_b = jnp.sqrt(jnp.vdot(b, b).real)
+        for _ in range(max(cfg.refine_iters, 1)):
+            r = b - op(x)
+            x = jnp.where(
+                jnp.sqrt(jnp.vdot(r, r).real) > cfg.tol * norm_b,
+                x + krylov(r),
+                x,
+            )
+        return x
+
+
+class DistStepSolver(StepSolver):
+    """The primal Newton + Armijo line search on the sharded layout.
+
+    Reuses StepSolver.solve_at_step verbatim (the control flow is layout
+    agnostic); only assembly, slope, and the linear solve are overridden.
+    `bc_dofs`/`bc_vals` arguments carry the (mask, values) dist arrays.
+    """
+
+    def __init__(self, ctx: DistContext, cfg: NewtonCfg):
+        self.ctx = ctx
+        self.assembler = ctx.prob.assembler
+        self.cfg = cfg
+        self._pallas_assemble = None
+        self._assemble = jax.jit(self._assemble_impl)
+        self._slope = jax.jit(self._slope_impl)
+
+    def _assemble_impl(
+        self, x, x_prev, xi_prev, params, bc_mask, bc_vals, ext_force
+    ):
+        R, J_T, diag, xi, path, nfail = self.ctx.assemble(
+            x, x_prev, xi_prev, params
+        )
+        R = R - ext_force
+        R = jnp.where(bc_mask, diag * (x - bc_vals), R)
+        return dict(
+            xi=xi,
+            path=path,
+            nfail=nfail,
+            R=R,
+            J_e=J_T,
+            diag=diag,
+            norm=jnp.sqrt(jnp.vdot(R, R).real),
+        )
+
+    def _slope_impl(self, J_e, diag, R, dx, bc_mask):
+        Adx = self.ctx.matvec(J_e, dx)
+        Adx = jnp.where(bc_mask, diag * dx, Adx)
+        return jnp.vdot(R, Adx).real
+
+    def _linear_solve(self, base, bc_mask):
+        return self.ctx.solve_linear(
+            self.cfg.linear, base["J_e"], base["diag"], -base["R"], bc_mask
+        )
+
+
+class DistAdjoint:
+    """Backward (in pseudo-time) adjoint sweep on the sharded layout —
+    the dist analog of solve/adjoint.py Adjoint, with identical math:
+    history vectors f/g live as sharded element arrays, the transposed
+    condensed solve runs on sharded Krylov vectors, and the parameter
+    gradient reduction is a segment-sum the partitioner lowers to a
+    cross-device psum (the PCU_Add_Doubles analog,
+    adjoint_objective.cpp:109).  QoI partials are taken by jax.grad
+    through the pure dist->global scatter (one nodal vector is
+    materialized per step; all element-level work stays sharded)."""
+
+    def __init__(self, ctx: DistContext, qoi=None, linear_cfg=None):
+        self.ctx = ctx
+        self.qoi = qoi if qoi is not None else ctx.prob.qoi
+        cfg = linear_cfg or ctx.prob.step_solver.cfg.linear
+        self.linear_cfg = dc_replace(
+            cfg, tol=min(cfg.tol, 1e-8), refine_iters=max(cfg.refine_iters, 2)
+        )
+        self._step = jax.jit(self._step_impl)
+
+    def _qoi_partials(self, Xd, XPd, xi, params, aux):
+        ctx = self.ctx
+        if self.qoi is None:
+            return (
+                jnp.zeros_like(Xd),
+                jnp.zeros_like(xi),
+                jnp.zeros_like(params),
+            )
+
+        def Jfn(X_, xi_, p_):
+            return self.qoi.evaluate(
+                ctx.from_dist_device(X_),
+                ctx.from_dist_device(XPd),
+                ctx.from_dist_elem_device(xi_),
+                p_,
+                aux,
+            )
+
+        return jax.grad(Jfn, argnums=(0, 1, 2))(Xd, xi, params)
+
+    def _step_impl(
+        self, Xd, XPd, xi, xi_prev, path, params, f, g, bc_mask, aux
+    ):
+        ctx = self.ctx
+        nde = ctx.nde
+        B = ctx.adjoint_blocks(Xd, XPd, xi, xi_prev, path, params)
+        dJ_dX, dJ_dxi, dJ_dp = self._qoi_partials(Xd, XPd, xi, params, aux)
+
+        # RHS = -dJ/dx + scatter[ f + dxi_dx^T (g - dJ/dxi) ]
+        g_modT = jnp.swapaxes(g - dJ_dxi, 1, 2)  # (P, nxi, E)
+        rhs_eT = jnp.swapaxes(f, 1, 2) + jnp.einsum(
+            "pije,pie->pje", B["dxi_dx_T"], g_modT
+        )
+        rhs = -dJ_dX + ctx.scatter_elem(jnp.swapaxes(rhs_eT, 1, 2))
+        rhs = jnp.where(bc_mask, 0.0, rhs)
+
+        dgT = jnp.stack(
+            [B["J_total_T"][:, i, i] for i in range(nde)], axis=1
+        )  # (P, nde, E)
+        diag = ctx.scatter_elem(jnp.swapaxes(dgT, 1, 2))
+        # transpose FIRST, then Dirichlet rows (adjoint.cpp:133-145)
+        z = ctx.solve_linear(
+            self.linear_cfg,
+            B["J_total_T"].swapaxes(1, 2),
+            diag,
+            rhs,
+            bc_mask,
+        )
+
+        # local adjoint and history updates
+        z_eT = jnp.swapaxes(ctx.gather_elem(z), 1, 2)  # (P, nde, E)
+        rhs_phiT = g_modT - jnp.einsum("pjie,pje->pie", B["dR_dxi_T"], z_eT)
+        phiT = jax.vmap(gauss_solve_T)(
+            B["dC_dxi_T"].swapaxes(1, 2), rhs_phiT[:, :, None, :]
+        )[:, :, 0, :]
+        f_next = -jnp.swapaxes(
+            jnp.einsum("pije,pie->pje", B["dC_dxprev_T"], phiT), 1, 2
+        )
+        g_next = -jnp.swapaxes(
+            jnp.einsum("pije,pie->pje", B["dC_dxiprev_T"], phiT), 1, 2
+        )
+
+        # parameter gradient: (dC/dp)^T phi + dJ/dp + (dR/dp)^T z
+        grad_e = jnp.einsum("piqe,pie->peq", B["dC_dp_T"], phiT) + jnp.einsum(
+            "pjqe,pje->peq", B["dR_dp_T"], z_eT
+        )
+        n_sets = params.shape[0]
+        grad = (
+            jax.ops.segment_sum(
+                grad_e.reshape(-1, grad_e.shape[-1]),
+                ctx.es.reshape(-1),
+                num_segments=n_sets,
+            )
+            + dJ_dp
+        )
+        return z, jnp.swapaxes(phiT, 1, 2), f_next, g_next, grad
+
+    def sweep(self, traj, params_all, time_grid, dbcs=None):
+        """traj is the dict from DistPrimal.run.  Returns (grad, zs)."""
+        ctx = self.ctx
+        prob = ctx.prob
+        dbcs = dbcs or prob.dbcs
+        P_, E = ctx.part.n_parts, ctx.part.E_loc
+        f = jnp.zeros((P_, E, ctx.nde), ctx.dtype)
+        g = jnp.zeros((P_, E, ctx.nxi), ctx.dtype)
+        grad = jnp.zeros_like(params_all)
+        zs = {}
+        n = time_grid.num_steps
+        for step in range(n, 0, -1):
+            t = time_grid.time(step)
+            bc_dofs, _ = dbcs.arrays(t, step)
+            bc_mask, _ = ctx.bc_dist(bc_dofs, jnp.zeros_like(bc_dofs, ctx.dtype))
+            aux = (
+                self.qoi.setup_step(
+                    step, t, time_grid.dt(step), time_grid.total_time
+                )
+                if self.qoi is not None
+                else ()
+            )
+            z, phi, f, g, dgrad = self._step(
+                traj["x"][step],
+                traj["x"][step - 1],
+                traj["xi"][step],
+                traj["xi"][step - 1],
+                traj["path"][step],
+                params_all,
+                f,
+                g,
+                bc_mask,
+                aux,
+            )
+            grad = grad + dgrad
+            zs[step] = (z, phi)
+        return grad, zs
+
+
+class DistPrimal:
+    """Forward load-stepping loop on the sharded layout (the dist analog
+    of solve/primal.py Primal.run; QoI evaluation reuses the global QoI
+    on a device-scattered view — QoIs are cheap reductions)."""
+
+    def __init__(self, ctx: DistContext, cfg: NewtonCfg | None = None):
+        self.ctx = ctx
+        prob = ctx.prob
+        self.solver = DistStepSolver(ctx, cfg or prob.step_solver.cfg)
+
+    def run(self, params_all=None, qoi_eval=True):
+        ctx = self.ctx
+        prob = ctx.prob
+        params = prob.params0 if params_all is None else params_all
+        tg = prob.time_grid
+        x = ctx.zeros()
+        xi = ctx.init_xi_dist()
+        path = jax.device_put(
+            jnp.zeros((ctx.part.n_parts, ctx.part.E_loc), jnp.int32),
+            ctx._shard,
+        )
+        traj = dict(x=[x], xi=[xi], path=[path], qoi_values=[])
+        for step in range(1, tg.num_steps + 1):
+            t = tg.time(step)
+            bc_dofs, bc_vals = prob.dbcs.arrays(t, step)
+            bc_mask, bc_g = ctx.bc_dist(bc_dofs, bc_vals)
+            ext = (
+                ctx.to_dist(prob.tbcs.array(t))
+                if prob.tbcs is not None
+                else ctx.zeros()
+            )
+            x_new, xi_new, path_new, _ = self.solver.solve_at_step(
+                x, x, xi, params, bc_mask, bc_g, ext, step=step
+            )
+            J_step = 0.0
+            if qoi_eval and prob.qoi is not None:
+                aux = prob.qoi.setup_step(step, t, tg.dt(step), tg.total_time)
+                J_step = float(
+                    prob.qoi.evaluate(
+                        ctx.from_dist_device(x_new),
+                        ctx.from_dist_device(x),
+                        ctx.from_dist_elem_device(xi_new),
+                        params,
+                        aux,
+                    )
+                )
+                J_step = prob.qoi.postprocess(J_step, step)
+            traj["x"].append(x_new)
+            traj["xi"].append(xi_new)
+            traj["path"].append(path_new)
+            traj["qoi_values"].append(J_step)
+            x, xi, path = x_new, xi_new, path_new
+        return traj

@@ -33,13 +33,27 @@ def build_mesh(spec: ProblemSpec, mesh=None):
     if "builtin mesh" in d:
         bm = dict(d["builtin mesh"])
         kind = bm.pop("type")
+        # 'refinements: L' solves on the L-times uniformly refined mesh
+        # and keeps the chain as the geometric-multigrid hierarchy
+        # (solve/mg.py; the reference's MueLu AMG analog)
+        n_ref = int(bm.pop("refinements", 0))
         fn = {
             "cube": generators.cube,
             "square": generators.square,
             "notch2D": generators.notch2d,
             "notch3D": generators.notch3d,
         }[kind]
-        return fn(**bm)
+        m = fn(**bm)
+        if n_ref:
+            from calibr8_tpu.mesh.refine import uniform_refine
+
+            chain = []
+            for _ in range(n_ref):
+                r = uniform_refine(m)
+                chain.append(r)
+                m = r.fine
+            m.refine_chain = chain
+        return m
     mesh_file = d.get("mesh file")
     if mesh_file and str(mesh_file).endswith(".msh"):
         from calibr8_tpu.mesh.gmsh import read_msh
@@ -64,6 +78,7 @@ class Problem:
 
         self.mesh = build_mesh(spec, mesh)
         dim = self.mesh.dim
+        refine_chain = getattr(self.mesh, "refine_chain", None)
 
         self.model = create_local_model(spec.model_name, dim, config=lr)
         self.model.abs_tol = float(lr.get("nonlinear absolute tol", 1e-12))
@@ -126,6 +141,16 @@ class Problem:
             line_search=_ls_params(gr.get("line search", {})),
         )
         self.step_solver = StepSolver(self.assembler, newton_cfg)
+
+        # geometric multigrid on the refinement hierarchy (the MueLu AMG
+        # analog, linear_solve.cpp:36-123) when the deck asks for it and
+        # the mesh carries a uniform-refinement chain
+        self.mg_factory = None
+        if la.get("preconditioner") == "multigrid" and refine_chain:
+            from calibr8_tpu.solve.mg import MGPrecondFactory
+
+            self.mg_factory = MGPrecondFactory(self.disc, refine_chain)
+            self.step_solver.mg_factory = self.mg_factory
 
         self.dbcs = DirichletBCs(
             self.disc,

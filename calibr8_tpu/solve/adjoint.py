@@ -33,12 +33,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from calibr8_tpu.fem.assembly import scatter_residual
 from calibr8_tpu.fem.bcs import zero_dbc_rows
-from calibr8_tpu.mechanics.global_residual import elem_kinematics
-from calibr8_tpu.models.base import Kinematics
 from calibr8_tpu.solve import linear as linear_mod
-from calibr8_tpu.utils.smallsolve import gauss_solve
+from calibr8_tpu.utils.smallsolve import gauss_solve_T
 
 
 class AdjointStepResult(NamedTuple):
@@ -74,53 +71,27 @@ class Adjoint:
 
     # -- element-block helpers -----------------------------------------
     def _blocks(self, x, x_prev, xi, xi_prev, path, params_all):
-        """Per-element derivative blocks (vmapped)."""
+        """Per-element derivative blocks via ONE fused linearization in
+        trailing (element-axis-last) layout — see
+        Assembler.make_adjoint_blocks_kernel.  Returns trailing-layout
+        blocks (suffix _T, element axis minor-most)."""
         a = self.assembler
         disc = a.disc
-        model, spec = a.model, a.spec
+        if getattr(self, "_blocks_kernel", None) is None:
+            self._blocks_kernel = a.make_adjoint_blocks_kernel()
         x_e = a.gather(x)
         xp_e = a.gather(x_prev)
         pars = a.params_per_elem(params_all)
-
-        def one(x_e_, xp_e_, xi_, xip_, path_, gN, dJ, h, par):
-            geom = (gN, dJ, h)
-
-            def C(xi__, xe__, xpe__, par__):
-                kin = elem_kinematics(spec, xe__, xpe__, gN)
-                return model.residual(xi__, xip_, kin, par__, path_)
-
-            def C_xiprev(xip__):
-                kin = elem_kinematics(spec, x_e_, xp_e_, gN)
-                return model.residual(xi_, xip__, kin, par, path_)
-
-            def R(xe__, xi__, par__):
-                return a.elem_res(xe__, xp_e_, xi__, geom, par__)
-
-            dC_dxi = jax.jacfwd(C, 0)(xi_, x_e_, xp_e_, par)
-            dC_dx = jax.jacfwd(C, 1)(xi_, x_e_, xp_e_, par)
-            dC_dxprev = jax.jacfwd(C, 2)(xi_, x_e_, xp_e_, par)
-            dC_dp = jax.jacfwd(C, 3)(xi_, x_e_, xp_e_, par)
-            dC_dxiprev = jax.jacfwd(C_xiprev)(xip_)
-            dR_dx = jax.jacfwd(R, 0)(x_e_, xi_, par)
-            dR_dxi = jax.jacfwd(R, 1)(x_e_, xi_, par)
-            dR_dp = jax.jacfwd(R, 2)(x_e_, xi_, par)
-            dxi_dx = -gauss_solve(dC_dxi, dC_dx)
-            J_total = dR_dx + dR_dxi @ dxi_dx
-
-            return dict(
-                dC_dxi=dC_dxi,
-                dC_dxprev=dC_dxprev,
-                dC_dxiprev=dC_dxiprev,
-                dC_dp=dC_dp,
-                dR_dxi=dR_dxi,
-                dR_dp=dR_dp,
-                dxi_dx=dxi_dx,
-                J_total=J_total,
-            )
-
-        return jax.vmap(one)(
-            x_e, xp_e, xi, xi_prev, path,
-            disc.grad_N, disc.detJ, disc.h, pars,
+        return self._blocks_kernel(
+            x_e.T,
+            xp_e.T,
+            xi.T,
+            xi_prev.T,
+            path,
+            jnp.moveaxis(disc.grad_N, 0, -1),
+            disc.detJ,
+            disc.h,
+            pars.T,
         )
 
     def _qoi_partials(self, x, x_prev, xi, params_all, aux):
@@ -149,33 +120,41 @@ class Adjoint:
         dJ_dx, dJ_dxi, dJ_dp = self._qoi_partials(x, x_prev, xi, params_all, aux)
 
         # RHS = -dJ/dx + scatter[ f + dxi_dx^T (g - dJ/dxi) ]
-        g_mod = g - dJ_dxi
-        rhs_e = f + jnp.einsum("eij,ei->ej", B["dxi_dx"], g_mod)
-        rhs = -dJ_dx + disc.scatter_elem(rhs_e)
+        # (all element math in trailing layout; one transpose before the
+        # row-based scatter)
+        g_modT = (g - dJ_dxi).T  # (nxi, n_elem)
+        rhs_eT = f.T + jnp.einsum("ije,ie->je", B["dxi_dx_T"], g_modT)
+        rhs = -dJ_dx + disc.scatter_elem(rhs_eT.T)
         rhs = zero_dbc_rows(rhs, bc_dofs)
 
         # diag of the (untransposed) operator for the DBC row scaling
-        diag = disc.scatter_elem(jnp.diagonal(B["J_total"], axis1=1, axis2=2))
+        nde = B["J_total_T"].shape[0]
+        dgT = jnp.stack([B["J_total_T"][i, i] for i in range(nde)], axis=0)
+        diag = disc.scatter_elem(dgT.T)
         z = linear_mod.solve(
             self.linear_cfg,
-            B["J_total"],
+            B["J_total_T"],
             disc,
             diag,
             rhs,
             bc_dofs,
             transpose=True,
+            mg=getattr(self, "mg_factory", None),
         )
 
         # local adjoint and history updates
-        z_e = disc.gather_elem(z)
-        rhs_phi = g_mod - jnp.einsum("eji,ej->ei", B["dR_dxi"], z_e)
-        phi = gauss_solve(B["dC_dxi"].swapaxes(-1, -2), rhs_phi)
-        f_next = -jnp.einsum("eij,ei->ej", B["dC_dxprev"], phi)
-        g_next = -jnp.einsum("eij,ei->ej", B["dC_dxiprev"], phi)
+        z_eT = disc.gather_elem(z).T  # (nde, n_elem)
+        rhs_phiT = g_modT - jnp.einsum("jie,je->ie", B["dR_dxi_T"], z_eT)
+        phiT = gauss_solve_T(
+            B["dC_dxi_T"].swapaxes(0, 1), rhs_phiT[:, None, :]
+        )[:, 0, :]
+        f_nextT = -jnp.einsum("ije,ie->je", B["dC_dxprev_T"], phiT)
+        g_nextT = -jnp.einsum("ije,ie->je", B["dC_dxiprev_T"], phiT)
 
         # parameter gradient: (dC/dp)^T phi + dJ/dp + (dR/dp)^T z
-        grad_e = jnp.einsum("eip,ei->ep", B["dC_dp"], phi) + jnp.einsum(
-            "ejp,ej->ep", B["dR_dp"], z_e
+        grad_e = (
+            jnp.einsum("ipe,ie->ep", B["dC_dp_T"], phiT)
+            + jnp.einsum("jpe,je->ep", B["dR_dp_T"], z_eT)
         )
         n_sets = params_all.shape[0]
         grad = (
@@ -183,7 +162,9 @@ class Adjoint:
             + dJ_dp
         )
 
-        return AdjointStepResult(z=z, phi=phi, f=f_next, g=g_next, grad=grad)
+        return AdjointStepResult(
+            z=z, phi=phiT.T, f=f_nextT.T, g=g_nextT.T, grad=grad
+        )
 
     # -- public sweep ---------------------------------------------------
     def sweep(self, traj, params_all, time_grid, bc_dofs=None):

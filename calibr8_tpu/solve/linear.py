@@ -52,6 +52,7 @@ def solve(
     b,
     bc_dofs,
     transpose: bool = False,
+    mg=None,
 ):
     edofs = disc.edofs
     n_dofs = disc.n_dofs
@@ -86,7 +87,10 @@ def solve(
         out = ebe_matvec_disc(op_e, disc, v)
         return apply_dbcs_matvec(out, diag, v, bc_dofs)
 
-    if cfg.preconditioner == "block_gs":
+    if mg is not None:
+        # geometric multigrid V-cycle (the MueLu AMG analog, solve/mg.py)
+        M = mg.make(op_e, diag, bc_dofs, op)
+    elif cfg.preconditioner == "block_gs":
         from calibr8_tpu.solve.precond import BlockJacobiGS
 
         M = BlockJacobiGS(disc, op_e, diag, bc_dofs)

@@ -1,0 +1,220 @@
+"""Geometric two-level multigrid preconditioner on the nested hierarchy.
+
+Native replacement for the reference's MueLu AMG inside the Teko block
+preconditioner (reference: source/calibr8/src/linear_solve.cpp:36-123 —
+block Gauss-Seidel whose DIAGONAL BLOCKS are MueLu AMG with
+node-coordinates nullspace).  AMG's job there is h-independent Krylov
+convergence on large meshes; here the same is achieved GEOMETRICALLY:
+when the solve mesh was produced by uniform refinement (mesh/refine.py
+— the NestedDisc machinery), the refinement chain IS the hierarchy.
+
+Mirroring the reference's structure, the V-cycle acts on the
+DISPLACEMENT (u) block only, inside the same u/p block Gauss-Seidel
+used by the one-level preconditioner (solve/precond.py):
+
+  z_u = V(1,1)-cycle on A_uu applied to r_u
+  z_p = app^{-1} (r_p - A_pu z_u)
+
+with
+  * prolongation P: composite P1 interpolation through all levels
+    (each fine node averages its two edge-endpoint parents; composed
+    levels give up-to-2^L-entry rows, kept as padded (idx, weight)
+    arrays — duplicate columns simply sum);
+  * coarse operator: Galerkin A_c = (MP)^T A_uu (MP) assembled
+    elementwise from the UNASSEMBLED fine element Jacobians (one
+    segment_sum — no fine CRS matrix ever exists), with M masking
+    Dirichlet rows so BCs are handled purely by the smoother;
+  * smoother: damped node-block (d x d) Jacobi, pre + post;
+  * coarse solve: dense LU (the base mesh is 4^L-8^L times smaller).
+
+The cycle is a FIXED linear operator, so it is a valid preconditioner
+for plain (non-flexible) GMRES/CG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from calibr8_tpu.solve.precond import node_block_diagonal
+from calibr8_tpu.utils.smallsolve import gauss_solve
+
+
+def composite_parents(refine_chain):
+    """Compose the per-level (node -> 2 parent nodes, weight 1/2) maps
+    of a uniform-refinement chain into base-level interpolation rows.
+
+    Returns (idx (n_fine, K), w (n_fine, K)) with K = 2^levels;
+    duplicate columns are allowed (weights add under summation)."""
+    n_base = int(refine_chain[0].node_parents.max()) + 1
+    idx = np.arange(n_base, dtype=np.int32)[:, None]
+    w = np.ones((n_base, 1))
+    for r in refine_chain:
+        pa = r.node_parents[:, 0]
+        pb = r.node_parents[:, 1]
+        idx = np.concatenate([idx[pa], idx[pb]], axis=1)
+        w = np.concatenate([0.5 * w[pa], 0.5 * w[pb]], axis=1)
+    return idx, w
+
+
+class MGPrecondFactory:
+    """Per-problem MG setup (host, once); make() builds the
+    preconditioner for one assembled element-Jacobian state (once per
+    Newton iteration)."""
+
+    def __init__(self, disc, refine_chain, omega: float = 0.7):
+        self.disc = disc
+        spec = disc.spec
+        d = spec.dim
+        self.d = d
+        self.omega = omega
+        idx, w = composite_parents(refine_chain)
+        assert idx.shape[0] == disc.n_nodes, (
+            f"hierarchy fine nodes {idx.shape[0]} != disc nodes {disc.n_nodes}"
+        )
+        self.K = idx.shape[1]
+        self.n_c = int(idx.max()) + 1
+        self.parents_idx = jnp.asarray(idx, jnp.int32)  # (n_f, K)
+        self.parents_w = jnp.asarray(w, disc.dtype)  # (n_f, K)
+        self.n_cu = self.n_c * d
+
+        # u-block slots within the node-interleaved element dof vector
+        npe = spec.npe
+        ndpn = spec.ndofs_per_node
+        uslots = np.array(
+            [l * ndpn + q for l in range(npe) for q in range(d)],
+            dtype=np.int64,
+        )
+        self.uslots = uslots
+        # coarse u-dof ids per fine element u-slot and parent column
+        conn = np.asarray(disc.conn)  # (n_e, npe)
+        pidx = idx[conn]  # (n_e, npe, K)
+        cd = np.zeros((disc.n_elem, npe * d, self.K), dtype=np.int64)
+        for l in range(npe):
+            for q in range(d):
+                cd[:, l * d + q, :] = pidx[:, l, :] * d + q
+        self.cd = jnp.asarray(cd)
+        self.wgt = jnp.asarray(
+            np.repeat(w[conn], d, axis=1), disc.dtype
+        )  # (n_e, npe*d, K)
+
+    # -- grid transfer (u block) ------------------------------------------
+    def prolong_u(self, xc, mask_u):
+        """Coarse u vector (n_cu,) -> fine u vector (n_dofs_u,)."""
+        Xc = xc.reshape(self.n_c, self.d)
+        Xf = jnp.einsum("fk,fkc->fc", self.parents_w, Xc[self.parents_idx])
+        return Xf.reshape(-1) * mask_u
+
+    def restrict_u(self, rf, mask_u):
+        Rf = (rf * mask_u).reshape(self.disc.n_nodes, self.d)
+        Rc = jnp.zeros((self.n_c, self.d), Rf.dtype)
+        for k in range(self.K):
+            Rc = Rc.at[self.parents_idx[:, k]].add(
+                self.parents_w[:, k, None] * Rf
+            )
+        return Rc.reshape(-1)
+
+    # -- per-Jacobian construction ----------------------------------------
+    def make(self, J_e, diag, bc_dofs, op=None):
+        """Build the preconditioner callable for one assembled state.
+
+        J_e: element Jacobians, elem-first (n_e, nde, nde) or trailing
+        (nde, nde, E_pad).  `op` (the full matvec) is unused — kept for
+        call-site compatibility."""
+        disc = self.disc
+        d = self.d
+        spec = disc.spec
+        n_u = disc.n_dofs_u
+        if J_e.shape[0] == J_e.shape[1]:  # trailing layout
+            Jef = jnp.moveaxis(J_e, -1, 0)[: disc.n_elem]
+        else:
+            Jef = J_e
+
+        # node-diagonal blocks with Dirichlet row replacement (the same
+        # treatment as BlockJacobiGS, solve/precond.py)
+        blocks = node_block_diagonal(disc, J_e)  # (n_nodes, ndpn, ndpn)
+        D = disc.nodemat(diag)
+        bc_mask = jnp.zeros(disc.n_dofs, bool).at[bc_dofs].set(True)
+        bc_nm = disc.nodemat(bc_mask.astype(Jef.dtype))
+        eye = jnp.eye(disc.ndpn, dtype=Jef.dtype)
+        rowsel = bc_nm[:, :, None]
+        blocks = blocks * (1.0 - rowsel) + rowsel * eye[None] * D[:, :, None]
+
+        Bu = blocks[:, :d, :d]
+        Bu_inv = gauss_solve(
+            Bu, jnp.broadcast_to(jnp.eye(d, dtype=Jef.dtype), Bu.shape),
+            pivot=True,
+        )  # (n_nodes, d, d)
+        Apu = blocks[:, d, :d] if spec.mixed else None
+        app = blocks[:, d, d] if spec.mixed else None
+        if spec.mixed:
+            app = jnp.where(jnp.abs(app) > 1e-300, app, 1.0)
+
+        # u-block element Jacobians and matvec
+        J_uu = Jef[:, self.uslots, :][:, :, self.uslots]  # (n_e, npe*d, npe*d)
+        conn = disc.conn
+        diag_u = diag[:n_u]
+        bc_u = bc_mask[:n_u]
+
+        def op_u(v):
+            V = v.reshape(disc.n_nodes, d)
+            v_e = V[conn].reshape(disc.n_elem, -1)
+            y_e = jnp.einsum("eij,ej->ei", J_uu, v_e)
+            Y = disc.scatter_rows(y_e.reshape(-1, d))
+            out = Y.reshape(-1)
+            return jnp.where(bc_u, diag_u * v, out)
+
+        # coarse Galerkin operator of the (Dirichlet-masked) u block
+        mask_u = jnp.where(bc_u, 0.0, 1.0).astype(Jef.dtype)
+        m_e = mask_u.reshape(disc.n_nodes, d)[conn].reshape(
+            disc.n_elem, -1
+        )  # (n_e, npe*d)
+        W = self.wgt * m_e[:, :, None]  # (n_e, npe*d, K)
+        n_cu = self.n_cu
+        A_c = jnp.zeros(n_cu * n_cu, Jef.dtype)
+        for a in range(self.K):
+            for b in range(self.K):
+                contrib = W[:, :, None, a] * J_uu * W[:, None, :, b]
+                flat = (
+                    self.cd[:, :, a][:, :, None] * n_cu
+                    + self.cd[:, None, :, b]
+                )
+                A_c = A_c + jax.ops.segment_sum(
+                    contrib.reshape(-1),
+                    flat.reshape(-1),
+                    num_segments=n_cu * n_cu,
+                )
+        A_c = A_c.reshape(n_cu, n_cu)
+        dg = jnp.diagonal(A_c)
+        # regularize empty rows (coarse dofs fully under Dirichlet masks)
+        A_c = A_c + jnp.diag(jnp.where(jnp.abs(dg) < 1e-12, 1.0, 0.0))
+        lu = jax.scipy.linalg.lu_factor(A_c)
+
+        omega = self.omega
+
+        def smooth(r):
+            Z = jnp.einsum(
+                "nij,nj->ni", Bu_inv, r.reshape(disc.n_nodes, d)
+            )
+            return omega * Z.reshape(-1)
+
+        def vcycle(r):
+            z = smooth(r)
+            r2 = r - op_u(z)
+            ec = jax.scipy.linalg.lu_solve(lu, self.restrict_u(r2, mask_u))
+            z = z + self.prolong_u(ec, mask_u)
+            r3 = r - op_u(z)
+            return z + smooth(r3)
+
+        def M(r):
+            r_u = r[:n_u]
+            z_u = vcycle(r_u)
+            if not spec.mixed:
+                return z_u
+            Zu = z_u.reshape(disc.n_nodes, d)
+            r_p = r[n_u:] - jnp.sum(Apu * Zu, axis=1)
+            z_p = r_p / app
+            return jnp.concatenate([z_u, z_p])
+
+        return M

@@ -135,6 +135,19 @@ class StepSolver:
         Adx = apply_dbcs_matvec(Adx, diag, dx, bc_dofs)
         return jnp.dot(R, Adx)
 
+    def _linear_solve(self, base, bc_dofs):
+        """Solve J dx = -R (overridden by the domain-decomposed solver,
+        parallel/dist.py)."""
+        return linear_mod.solve(
+            self.cfg.linear,
+            base["J_e"],
+            self.assembler.disc,
+            base["diag"],
+            -base["R"],
+            bc_dofs,
+            mg=getattr(self, "mg_factory", None),
+        )
+
     def solve_at_step(
         self,
         x,
@@ -183,14 +196,7 @@ class StepSolver:
                 converged = True
                 break
 
-            dx = linear_mod.solve(
-                cfg.linear,
-                base["J_e"],
-                disc,
-                base["diag"],
-                -base["R"],
-                bc_dofs,
-            )
+            dx = self._linear_solve(base, bc_dofs)
 
             # --- Armijo backtracking line search (line_search.hpp) ---
             ls = cfg.line_search
