@@ -58,9 +58,17 @@ def _load_problem(deck_path):
 
 def cmd_primal(args):
     spec, prob = _load_problem(args.deck)
-    traj = prob.solve_primal()
+    from calibr8_tpu.utils import timers
+
+    timers.reset()
+    with timers.phase("primal/total"):
+        traj = prob.solve_primal()
     J = traj.J
     print(f"J: {J:.16e}")
+    if getattr(args, "timers", False) or spec.sub("problem").get(
+        "print timers", False
+    ):
+        timers.report()
     if spec.regression:
         expected = float(spec.regression["QoI"])
         tol = float(spec.regression.get("relative error tol", 1e-6))
@@ -77,8 +85,18 @@ def cmd_primal(args):
         from calibr8_tpu.io.synthetic import attach_synthetic, save_fields
 
         attach_synthetic(prob.mesh, prob.disc, traj)
-        out = spec.problem_name + "_synthetic.npz"
-        save_fields(prob.mesh, out)
+        # the reference stores synthetic data as fields INSIDE the
+        # native mesh (synthetic.hpp:15-18, main_primal.cpp:193-196);
+        # meshes loaded from .smb write back the same way, generated
+        # meshes fall back to the .npz sidecar
+        if getattr(prob.mesh, "smb_template", None) is not None:
+            from calibr8_tpu.mesh.smb import write_smb
+
+            out = spec.problem_name + "_synthetic.smb"
+            write_smb(prob.mesh, out)
+        else:
+            out = spec.problem_name + "_synthetic.npz"
+            save_fields(prob.mesh, out)
         print(f"synthetic fields written: {out}")
     if args.vtk:
         from calibr8_tpu.io.vtk import write_pvd
@@ -213,10 +231,29 @@ def cmd_spr_error(args):
 
 
 def cmd_error(args):
+    """The reference `error` driver is ADAPTIVE: primal -> nested fine
+    adjoint -> localize -> adapt, for `adaptivity: solve cycles` cycles
+    (main_error.cpp:296-330).  With no adaptivity sublist (and no
+    --cycles), a single estimate pass is run."""
     from calibr8_tpu.deck import load_deck
     from calibr8_tpu.error.verify import verify
 
     spec = load_deck(args.deck)
+    n_cycles = args.cycles or int(spec.sub("adaptivity").get("solve cycles", 0))
+    if n_cycles > 1:
+        from calibr8_tpu.error.adapt import adaptive_error_cycles
+
+        res = adaptive_error_cycles(spec, n_cycles=n_cycles)
+        for c in res.cycles:
+            print(
+                f"cycle {c['cycle']}: elems {c['n_elems']}, "
+                f"J^H {c['J_H']:.12e}, eta {c['eta']:.6e}, "
+                f"bound {c['eta_bound']:.6e}"
+            )
+        print(json.dumps({"cycles": res.cycles}))
+        if args.error_out:
+            np.save(args.error_out, np.asarray(res.etas))
+        return 0
     res = verify(spec)
     out = {
         "eta": res.eta,
@@ -395,6 +432,9 @@ def main(argv=None):
     sp = sub.add_parser("primal")
     sp.add_argument("deck")
     sp.add_argument("--vtk", help="write VTK/PVD output to this basename")
+    sp.add_argument(
+        "--timers", action="store_true", help="print per-phase timers"
+    )
     sp.set_defaults(fn=cmd_primal)
 
     sp = sub.add_parser("inverse")
@@ -414,6 +454,13 @@ def main(argv=None):
     sp = sub.add_parser("error")
     sp.add_argument("deck")
     sp.add_argument("--error-out")
+    sp.add_argument(
+        "--cycles",
+        type=int,
+        default=0,
+        help="adaptive solve-estimate-adapt cycles (overrides the "
+        "deck's 'adaptivity: solve cycles')",
+    )
     sp.set_defaults(fn=cmd_error)
 
     sp = sub.add_parser("exact_error")

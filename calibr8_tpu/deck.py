@@ -23,12 +23,29 @@ import numpy as np
 import yaml
 
 
-def load_deck(path_or_dict) -> "ProblemSpec":
+def load_deck(path_or_dict, subs: dict | None = None) -> "ProblemSpec":
+    """Parse a deck.  `subs` substitutes `@VAR@` placeholders in the
+    raw text before parsing — the CMake configure_file step the
+    reference applies to its `*.yaml.in` test decks (e.g.
+    `@CMAKE_SOURCE_DIR@` -> source tree root), so the reference's own
+    deck files load unmodified.  `CALIBR8_CMAKE_SOURCE_DIR` in the
+    environment provides a default for `@CMAKE_SOURCE_DIR@`."""
     if isinstance(path_or_dict, dict):
         raw = path_or_dict
     else:
         with open(path_or_dict) as f:
-            raw = yaml.safe_load(f)
+            text = f.read()
+        import os
+
+        all_subs = {}
+        if os.environ.get("CALIBR8_CMAKE_SOURCE_DIR"):
+            all_subs["CMAKE_SOURCE_DIR"] = os.environ[
+                "CALIBR8_CMAKE_SOURCE_DIR"
+            ]
+        all_subs.update(subs or {})
+        for key, val in all_subs.items():
+            text = text.replace(f"@{key}@", str(val))
+        raw = yaml.safe_load(text)
     # unwrap the single problem-name root key if present
     known = {
         "problem",

@@ -94,6 +94,10 @@ class Mesh:
             side_sets=new_side_sets,
             fields=dict(self.fields),
         )
+        # node order is preserved, so the smb geometry template (and
+        # with it nodal fields on disk) stays valid for write_smb
+        if getattr(self, "smb_template", None) is not None:
+            m.smb_template = self.smb_template
         return m, ranges
 
     def facet_nodes(self, side_set: str) -> np.ndarray:

@@ -42,6 +42,15 @@ _TYPE_DIM = [0, 1, 2, 2, 3, 3, 3, 3]
 
 
 def read_smb(path, assoc_file=None) -> Mesh:
+    import os
+
+    # PUMI path convention: `name.smb` names a parallel mesh whose
+    # part files are `name<rank>.smb`; a serial load opens part 0
+    # (the reference decks write `mesh file: .../cube.smb`).
+    if not os.path.exists(path) and str(path).endswith(".smb"):
+        alt = str(path)[:-4] + "0.smb"
+        if os.path.exists(alt):
+            path = alt
     data = open(path, "rb").read()
     off = 0
 
@@ -85,6 +94,33 @@ def read_smb(path, assoc_file=None) -> Mesh:
             continue
         pairs = ints(2 * c).reshape(c, 2)
         classification[t] = pairs[:, ::-1]  # store as [:, 0] = dim, [:, 1] = tag
+
+    # geometry template for the writer: everything through classification
+    # is copied verbatim on write (write_smb), so a field-free round trip
+    # is byte-identical to the PUMI-written file
+    template = data[:off]
+
+    # trailing sections: links + matches (8 int32s, all zero in the
+    # serial part files the reference ships), then the field-tag slot
+    # (0 in PUMI-written meshes; write_smb stores nodal fields here —
+    # measured DIC data etc., the analog of apf fields attached by
+    # `write synthetic`, synthetic.hpp:15-18), then the shape name.
+    fields = {}
+    if off + 36 <= len(data):
+        links = ints(8)
+        if np.all(links == 0):
+            (n_tags,) = ints(1)
+            for _ in range(int(n_tags)):
+                _ttype, size, nlen = ints(3)
+                name = data[off : off + int(nlen)].decode().rstrip("\x00")
+                off += int(nlen)
+                (cnt,) = ints(1)
+                vals = doubles(int(cnt) * int(size))
+                fields[name] = (
+                    vals.reshape(int(cnt), int(size)).copy()
+                    if size > 1
+                    else vals.copy()
+                )
 
     # ---- resolve downward adjacencies to vertices --------------------
     edges = conn.get(1)
@@ -189,11 +225,61 @@ def read_smb(path, assoc_file=None) -> Mesh:
     else:
         elem_sets["body"] = np.arange(elem_conn.shape[0])
 
-    return Mesh(
+    out = Mesh(
         dim=dim,
         coords=mesh_coords,
         conn=elem_conn,
         elem_sets=elem_sets,
         node_sets=node_sets,
         side_sets=side_sets,
+        fields=fields,
     )
+    out.smb_template = template
+    return out
+
+
+def write_smb(mesh: Mesh, path) -> None:
+    """Write the mesh + its nodal fields back to .smb.
+
+    The reference persists synthetic/measured DIC displacements as
+    nodal fields INSIDE the native mesh (synthetic.hpp:15-18,
+    main_primal.cpp:193-196) so a calibration deck consumes one file.
+    Here the geometry/topology/classification sections are copied
+    verbatim from the file the mesh was loaded from (read_smb stores
+    them as `mesh.smb_template` — node order is never permuted, so
+    nodal fields stay aligned), and every entry of `mesh.fields` is
+    appended as a dense nodal double tag:
+
+      int32 n_tags; per tag: int32 type(0=double), int32 size,
+      int32 name_len, name bytes (nul-terminated), int32 count,
+      float64 values[count*size]   (all big-endian)
+
+    A mesh with no fields round-trips byte-identically to the
+    PUMI-written serial part file.
+    """
+    tpl = getattr(mesh, "smb_template", None)
+    if tpl is None:
+        raise ValueError(
+            "write_smb needs a mesh loaded from .smb (geometry sections "
+            "are copied from the source file); use save_fields for "
+            "generated meshes"
+        )
+    out = bytearray(tpl)
+    out += b"\x00" * 32  # links + matches (serial part)
+    names = sorted(mesh.fields)
+    out += struct.pack(">i", len(names))
+    for name in names:
+        arr = np.asarray(mesh.fields[name], dtype=np.float64)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        assert arr.shape[0] == mesh.n_nodes, (
+            f"field {name}: {arr.shape[0]} rows != {mesh.n_nodes} nodes"
+        )
+        nb = name.encode() + b"\x00"
+        out += struct.pack(">iii", 0, arr.shape[1], len(nb))
+        out += nb
+        out += struct.pack(">i", arr.shape[0])
+        out += arr.astype(">f8").tobytes()
+    out += b"Linear\x00" + struct.pack(">i", -3) + b"\x00" * 8
+    with open(path, "wb") as f:
+        f.write(bytes(out))

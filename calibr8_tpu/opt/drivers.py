@@ -99,7 +99,13 @@ def run_inverse(
         if os.path.exists(checkpoint_path):
             x0, _, _ = load_checkpoint(checkpoint_path)
     wrapper = _EvalWrapper(objective, failure_mode)
-    bounds = [(-1.0, 1.0)] * n
+    # per-scaling optimizer box: [-1, 1] for bounds scaling, unbounded
+    # for value/log scalings (parameter_transforms.py:63-70)
+    bounds = (
+        active.opt_bounds()
+        if hasattr(active, "opt_bounds")
+        else [(-1.0, 1.0)] * n
+    )
 
     callback = None
     if checkpoint_path:

@@ -46,6 +46,6 @@ def evaluate_multiple_qois_and_gradients(
         entry = {"name": qtype, "J": J, "grad_all": np.asarray(grad_all)}
         if active is not None:
             g = active.extract_grad(np.asarray(grad_all))
-            entry["grad"] = active.grad_to_canonical(g)
+            entry["grad"] = active.grad_to_canonical(g, active.extract(np.asarray(params_all)))
         out.append(entry)
     return out

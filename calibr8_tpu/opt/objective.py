@@ -22,28 +22,37 @@ import numpy as np
 
 @dataclass
 class ActiveParams:
-    """Active-parameter bookkeeping: (elem_set, param) pairs + bounds."""
+    """Active-parameter bookkeeping: (elem_set, param) pairs + scales.
+
+    Each entry carries one of the reference's three scalings
+    (python/calibr8/util/parameter_transforms.py:4-66):
+    (lo, hi) bounds -> canonical [-1, 1] (the C++ ROL convention,
+    objective.cpp:41-61), a float ref value -> log scaling, or None ->
+    untransformed value."""
 
     entries: list  # [(es_idx, param_idx, name)]
-    lower: np.ndarray
-    upper: np.ndarray
+    scales: list  # [(lo, hi) | float | None] per entry
 
     @classmethod
     def from_inverse_spec(cls, inverse_params: dict, elem_set_names, param_names):
-        """Parse `inverse: materials: <es>: <param>: [lo, hi]`
+        """Parse `inverse: materials: <es>: <param>: [lo, hi] | ref | null`
         (objective.cpp:75-110); parameter order is elem-set-major,
         model-parameter-order minor, matching the reference."""
         mats = inverse_params.get("materials", {})
-        entries, lower, upper = [], [], []
+        entries, scales = [], []
         for es_idx, es in enumerate(elem_set_names):
             m = mats.get(es, {}) or {}
             for p_idx, pname in enumerate(param_names):
                 if pname in m:
-                    bounds = m[pname]
+                    s = m[pname]
                     entries.append((es_idx, p_idx, f"{es}/{pname}"))
-                    lower.append(float(bounds[0]))
-                    upper.append(float(bounds[1]))
-        return cls(entries, np.asarray(lower), np.asarray(upper))
+                    if s is None:
+                        scales.append(None)
+                    elif isinstance(s, (int, float)):
+                        scales.append(float(s))  # log scaling ref value
+                    else:
+                        scales.append((float(s[0]), float(s[1])))
+        return cls(entries, scales)
 
     @property
     def n(self) -> int:
@@ -53,22 +62,47 @@ class ActiveParams:
     def names(self):
         return [e[2] for e in self.entries]
 
-    # canonical [-1, 1] scaling ----------------------------------------
+    # bounds-mode views (valid when every scale is a (lo, hi) pair) -----
+    @property
+    def lower(self) -> np.ndarray:
+        return np.asarray([s[0] for s in self.scales])
+
+    @property
+    def upper(self) -> np.ndarray:
+        return np.asarray([s[1] for s in self.scales])
+
     def span(self) -> np.ndarray:
         return 0.5 * (self.upper - self.lower)
 
     def mean(self) -> np.ndarray:
         return 0.5 * (self.upper + self.lower)
 
+    # canonical scaling --------------------------------------------------
     def to_canonical(self, p: np.ndarray) -> np.ndarray:
-        x = (np.asarray(p) - self.mean()) / self.span()
-        return np.clip(x, -1.0, 1.0)
+        from calibr8_tpu.opt import transforms as tr
+
+        return tr.transform_parameters(np.asarray(p), self.scales, False)
 
     def from_canonical(self, x: np.ndarray) -> np.ndarray:
-        return self.span() * np.asarray(x) + self.mean()
+        from calibr8_tpu.opt import transforms as tr
 
-    def grad_to_canonical(self, g: np.ndarray) -> np.ndarray:
-        return np.asarray(g) * self.span()
+        return tr.transform_parameters(np.asarray(x), self.scales, True)
+
+    def grad_to_canonical(self, g: np.ndarray, p=None) -> np.ndarray:
+        """Chain-rule dJ/dx = dJ/dp * dp/dx; log scaling needs the
+        current parameter values p (dp/dx = p)."""
+        from calibr8_tpu.opt import transforms as tr
+
+        if p is None:
+            if any(tr.is_log(s) for s in self.scales):
+                raise ValueError("log-scaled gradients need parameter values")
+            p = np.zeros_like(np.asarray(g))
+        return tr.grad_transform(np.asarray(g), np.asarray(p), self.scales)
+
+    def opt_bounds(self):
+        from calibr8_tpu.opt import transforms as tr
+
+        return [tr.opt_bounds(s) for s in self.scales]
 
     # scatter / gather against the full (n_sets, n_params) matrix ------
     def insert(self, params_all, p_active):
@@ -127,7 +161,8 @@ class AdjointObjective:
             traj, params_all, self.problem.time_grid
         )
         g_active = self.active.extract_grad(np.asarray(grad_all))
-        return self.active.grad_to_canonical(g_active)
+        p_act = self.active.extract(np.asarray(params_all))
+        return self.active.grad_to_canonical(g_active, p_act)
 
     def value_and_gradient(self, x_canonical):
         return self.value(x_canonical), self.gradient(x_canonical)

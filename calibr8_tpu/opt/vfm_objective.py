@@ -79,7 +79,8 @@ class FSVFMObjective(_VFMBase):
             for w, m, dP in zip(ws, misms, dPs)
         )
         g_active = self.active.extract_grad(np.asarray(grad_all))
-        return float(J), self.active.grad_to_canonical(g_active)
+        p_act = self.active.extract(np.asarray(params_all))
+        return float(J), self.active.grad_to_canonical(g_active, p_act)
 
     def gradient(self, x_canonical):
         return self.value_and_gradient(x_canonical)[1]
@@ -96,7 +97,8 @@ class AdjointVFMObjective(_VFMBase):
         cs = [w * m * self.thickness for w, m in zip(ws, misms)]
         grad_all = self.vp.adjoint_gradient(params_all, cs, xis, paths)
         g_active = self.active.extract_grad(np.asarray(grad_all))
-        return float(J), self.active.grad_to_canonical(g_active)
+        p_act = self.active.extract(np.asarray(params_all))
+        return float(J), self.active.grad_to_canonical(g_active, p_act)
 
     def gradient(self, x_canonical):
         return self.value_and_gradient(x_canonical)[1]
@@ -150,7 +152,8 @@ class EUCLIDObjective(_VFMBase):
                 )
         if want_grad:
             g = self.active.extract_grad(np.asarray(grad_all))
-            return float(J), self.active.grad_to_canonical(g)
+            p_act = self.active.extract(np.asarray(params_all))
+            return float(J), self.active.grad_to_canonical(g, p_act)
         return float(J)
 
     def value(self, x_canonical):
@@ -201,7 +204,8 @@ class EquilibriumGapObjective:
         J = self.gap_scale * sum(float(jnp.dot(R, R)) for R in Rs)
         grad_all = self._gap_gradient(params_all, Rs, xis, paths)
         g = self.active.extract_grad(np.asarray(grad_all))
-        return float(J), self.active.grad_to_canonical(g)
+        p_act = self.active.extract(np.asarray(params_all))
+        return float(J), self.active.grad_to_canonical(g, p_act)
 
     def _gap_gradient(self, params_all, Rs, xis, paths):
         """d/dp sum_s ||R_s||^2: backward local-history sweep where the

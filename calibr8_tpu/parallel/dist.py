@@ -485,6 +485,7 @@ class DistContext:
 
         x = krylov(b)
         norm_b = jnp.sqrt(jnp.vdot(b, b).real)
+        safe_nb = jnp.where(norm_b > 0, norm_b, 1.0)
         for _ in range(max(cfg.refine_iters, 1)):
             r = b - op(x)
             x = jnp.where(
@@ -492,7 +493,8 @@ class DistContext:
                 x + krylov(r),
                 x,
             )
-        return x
+        r = b - op(x)
+        return x, jnp.sqrt(jnp.vdot(r, r).real) / safe_nb
 
 
 class DistStepSolver(StepSolver):
@@ -535,9 +537,10 @@ class DistStepSolver(StepSolver):
         return jnp.vdot(R, Adx).real
 
     def _linear_solve(self, base, bc_mask):
-        return self.ctx.solve_linear(
+        dx, relres = self.ctx.solve_linear(
             self.cfg.linear, base["J_e"], base["diag"], -base["R"], bc_mask
         )
+        return self._check_linear(dx, relres)
 
 
 class DistAdjoint:
@@ -601,7 +604,7 @@ class DistAdjoint:
         )  # (P, nde, E)
         diag = ctx.scatter_elem(jnp.swapaxes(dgT, 1, 2))
         # transpose FIRST, then Dirichlet rows (adjoint.cpp:133-145)
-        z = ctx.solve_linear(
+        z, _relres = ctx.solve_linear(
             self.linear_cfg,
             B["J_total_T"].swapaxes(1, 2),
             diag,

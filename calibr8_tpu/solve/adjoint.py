@@ -191,18 +191,22 @@ class Adjoint:
                 if self.qoi is not None
                 else ()
             )
-            res = self._step(
-                traj.x[step],
-                traj.x[step - 1],
-                traj.xi[step],
-                traj.xi[step - 1],
-                traj.path[step],
-                params_all,
-                f,
-                g,
-                bcd,
-                aux,
-            )
+            from calibr8_tpu.utils import timers
+
+            with timers.phase("adjoint/step"):
+                res = self._step(
+                    traj.x[step],
+                    traj.x[step - 1],
+                    traj.xi[step],
+                    traj.xi[step - 1],
+                    traj.path[step],
+                    params_all,
+                    f,
+                    g,
+                    bcd,
+                    aux,
+                )
+                jax.block_until_ready(res.grad)
             f, g = res.f, res.g
             grad = grad + res.grad
             zs[step] = (res.z, res.phi)

@@ -110,7 +110,10 @@ def gmres_counted(op, b, M=None, tol=1e-8, atol=0.0, maxiter=200, restart=50, x0
         # solve the small triangular system and update
         k = k_used
         if k > 0:
-            y = np.linalg.solve(H[:k, :k], g[:k])
+            try:
+                y = np.linalg.solve(H[:k, :k], g[:k])
+            except np.linalg.LinAlgError:  # breakdown (singular operator)
+                y = np.linalg.lstsq(H[:k, :k], g[:k], rcond=None)[0]
             dz = y[0] * V[0]
             for i in range(1, k):
                 dz = dz + y[i] * V[i]

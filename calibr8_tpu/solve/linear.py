@@ -54,13 +54,32 @@ def solve(
     transpose: bool = False,
     mg=None,
 ):
-    edofs = disc.edofs
-    n_dofs = disc.n_dofs
+    """Solve J x = b (see solve_info); returns x only."""
+    return solve_info(cfg, J_e, disc, diag, b, bc_dofs, transpose, mg)[0]
+
+
+def solve_info(
+    cfg: LinearCfg,
+    J_e,
+    disc,
+    diag,
+    b,
+    bc_dofs,
+    transpose: bool = False,
+    mg=None,
+):
     """Solve J x = b with Dirichlet rows replaced by diag * x_row = b_row.
 
     transpose=True solves J^T x = b with Dirichlet *columns* of J^T
     (rows of J) constrained — the adjoint system (adjoint.cpp:133-145).
+
+    Returns (x, relres) with relres = ||b - J x|| / ||b|| recomputed
+    from the true residual — the Belos status-check analog
+    (linear_solve.cpp:106-123); callers react to non-convergence the
+    way the reference primal does (primal.cpp:163-195).
     """
+    edofs = disc.edofs
+    n_dofs = disc.n_dofs
     method = cfg.method
     if method == "auto":
         method = "dense" if n_dofs <= cfg.dense_cutoff else "gmres"
@@ -75,13 +94,17 @@ def solve(
     else:
         op_e = J_e
 
+    norm_b = jnp.linalg.norm(b)
+    safe_nb = jnp.where(norm_b > 0, norm_b, 1.0)
+
     if method == "dense":
         eb = (
             jnp.moveaxis(op_e, -1, 0)[: edofs.shape[0]] if trailing else op_e
         )
         A = dense_matrix(eb, edofs, n_dofs)
         A = apply_dbcs_dense(A, diag, bc_dofs)
-        return jnp.linalg.solve(A, b)
+        x = jnp.linalg.solve(A, b)
+        return x, jnp.linalg.norm(b - A @ x) / safe_nb
 
     def op(v):
         out = ebe_matvec_disc(op_e, disc, v)
@@ -118,10 +141,9 @@ def solve(
         return y
 
     x = krylov(b)
-    norm_b = jnp.linalg.norm(b)
     for _ in range(cfg.refine_iters):
         r = b - op(x)
         x = jnp.where(
             jnp.linalg.norm(r) > cfg.tol * norm_b, x + krylov(r), x
         )
-    return x
+    return x, jnp.linalg.norm(b - op(x)) / safe_nb

@@ -138,7 +138,7 @@ class StepSolver:
     def _linear_solve(self, base, bc_dofs):
         """Solve J dx = -R (overridden by the domain-decomposed solver,
         parallel/dist.py)."""
-        return linear_mod.solve(
+        dx, relres = linear_mod.solve_info(
             self.cfg.linear,
             base["J_e"],
             self.assembler.disc,
@@ -147,6 +147,20 @@ class StepSolver:
             bc_dofs,
             mg=getattr(self, "mg_factory", None),
         )
+        return self._check_linear(dx, relres)
+
+    def _check_linear(self, dx, relres):
+        """Belos-status-check analog (linear_solve.cpp:106-123): a
+        diverged Krylov solve must not feed garbage into the Newton
+        update — the reference fail()s (primal.cpp:163-195)."""
+        rr = float(relres)
+        if not np.isfinite(rr) or rr > 0.5:
+            raise NewtonSolveError(
+                f"linear solve diverged (relative residual {rr:.3e})"
+            )
+        if self.cfg.print_convergence and rr > 10.0 * self.cfg.linear.tol:
+            print(f" > linear solve: loose relative residual {rr:.3e}")
+        return dx
 
     def solve_at_step(
         self,
@@ -168,12 +182,18 @@ class StepSolver:
         if do_print:
             print(f"ON PRIMAL STEP ({step})")
 
+        from calibr8_tpu.utils import timers
+
         if self._pallas_assemble is not None:
             # x_prev / xi_prev are constant for the whole step: hoist
             # their gather+relayout out of every assembly
             x_prev, xi_prev = self._pallas_prepare(x_prev, xi_prev)
 
-        base = self._assemble(x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force)
+        with timers.phase("primal/assemble"):
+            base = self._assemble(
+                x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force
+            )
+            jax.block_until_ready(base["norm"])
         if int(base["nfail"]) > 0:
             raise NewtonSolveError(
                 f"primal step {step}: local solve failed at the base point"
@@ -196,7 +216,9 @@ class StepSolver:
                 converged = True
                 break
 
-            dx = self._linear_solve(base, bc_dofs)
+            with timers.phase("primal/linear_solve"):
+                dx = self._linear_solve(base, bc_dofs)
+                jax.block_until_ready(dx)
 
             # --- Armijo backtracking line search (line_search.hpp) ---
             ls = cfg.line_search
@@ -209,9 +231,11 @@ class StepSolver:
             accepted = None
             for n in range(1, ls.max_evals + 1):
                 x_t = x + alpha * dx
-                trial = self._assemble(
-                    x_t, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force
-                )
+                with timers.phase("primal/assemble"):
+                    trial = self._assemble(
+                        x_t, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force
+                    )
+                    jax.block_until_ready(trial["norm"])
                 if int(trial["nfail"]) > 0:
                     alpha *= 0.5
                     continue

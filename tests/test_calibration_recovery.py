@@ -62,6 +62,61 @@ def _base_deck(materials, qoi):
     }
 
 
+def test_femu_recovery_fast(tmp_path):
+    """Fast-suite gate on the flagship synthetic -> calibrate -> recover
+    loop (coarser mesh, 2 steps, 2 active params; the full reference
+    configuration runs in the slow test below)."""
+    load_file = str(tmp_path / "load.dat")
+    hill = {"R00": 1.0, "R11": 1.0, "R22": 1.0, "R01": 1.0}
+    truth_mats = {"E": 1000.0, "nu": 0.25, **TRUTH, **hill}
+    qoi_syn = {
+        "type": "reaction mismatch",
+        "coordinate index": 1,
+        "coordinate value": 1.0,
+        "coordinate tolerance": 1e-6,
+        "reaction force component": 1,
+        "load out file": load_file,
+    }
+    syn_deck = _base_deck(truth_mats, qoi_syn)
+    syn_deck["discretization"]["builtin mesh"] = {"type": "notch2D", "h": 0.25}
+    syn_deck["discretization"]["num steps"] = 2
+    syn_deck["dirichlet bcs"]["expression"]["bc 3"] = [0, 1, "ymax", "0.005 * t"]
+    syn = Problem(load_deck(syn_deck))
+    traj = syn.solve_primal()
+    attach_synthetic(syn.mesh, syn.disc, traj)
+
+    start_mats = {**truth_mats, "Y": 2.5, "D": 2.8}
+    cal_deck = copy.deepcopy(syn_deck)
+    cal_deck["residuals"]["local residual"]["materials"] = {"body": start_mats}
+    cal_deck["quantity of interest"] = {
+        "type": "calibration",
+        "balance factor": 4.22,
+        "coordinate index": 1,
+        "coordinate value": 1.0,
+        "coordinate tolerance": 1e-6,
+        "reaction force component": 1,
+        "displacement weights": [3.98e7, 3.98e7],
+        "load input file": load_file,
+    }
+    cal = Problem(load_deck(cal_deck), mesh=syn.mesh)
+    adj = Adjoint(cal.assembler, cal.qoi, cal.dbcs, LinearCfg())
+    active = ActiveParams.from_inverse_spec(
+        {"materials": {"body": {"Y": [1.0, 3.0], "D": [1.0, 4.0]}}},
+        cal.disc.elem_set_names,
+        cal.model.param_names,
+    )
+    obj = AdjointObjective(cal, adj, active)
+    x0 = active.to_canonical(active.extract(cal.params0))
+    res = run_inverse(obj, active, x0=x0, max_iters=60, gtol=1e-12)
+    recovered = dict(zip([n.split("/")[-1] for n in res.names], res.params))
+    for name in ("Y", "D"):
+        rel = abs(recovered[name] - TRUTH[name]) / TRUTH[name]
+        assert rel < 5e-3, (
+            f"{name} = {recovered[name]:.6f} vs {TRUTH[name]} "
+            f"(rel {rel:.2e}); J = {res.J:.3e}, evals = {res.n_evals}"
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("method", ["L-BFGS-B", "trust-constr"])
 def test_femu_parameter_recovery(method, tmp_path):
