@@ -267,6 +267,30 @@ def cmd_error(args):
     return 0
 
 
+def cmd_research(args):
+    """Research mini-app: adaptive adjoint-error study (nlpoisson /
+    nlelasticity) — the analog of the reference's standalone `research`
+    executable (research.cpp:12-40)."""
+    import yaml
+
+    from calibr8_tpu.research import run_research
+
+    with open(args.deck) as f:
+        params = yaml.safe_load(f)
+    if len(params) == 1 and "physics" not in params:
+        params = next(iter(params.values()))
+    history = run_research(params)
+    for row in history:
+        print(
+            f"cycle {row['cycle']}: elems {row['n_elems']}, "
+            f"J^H {row['J_H']:.12e}, eta1 {row['eta1']:.6e} "
+            f"(eff {row['eff1']:.4f}), eta2 {row['eta2']:.6e} "
+            f"(eff {row['eff2']:.4f})"
+        )
+    print(json.dumps({"history": history}))
+    return 0
+
+
 def cmd_exact_error(args):
     from calibr8_tpu.deck import load_deck
     from calibr8_tpu.error.exact import exact_error
@@ -450,6 +474,10 @@ def main(argv=None):
     sp = sub.add_parser("verify")
     sp.add_argument("deck")
     sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("research")
+    sp.add_argument("deck")
+    sp.set_defaults(fn=cmd_research)
 
     sp = sub.add_parser("error")
     sp.add_argument("deck")

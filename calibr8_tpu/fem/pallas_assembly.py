@@ -38,11 +38,19 @@ PARENT_MEASURE = {2: 0.5, 3: 1.0 / 6.0}
 
 
 def supports_pallas(assembler) -> bool:
-    return (
-        get_batched_model(assembler.model) is not None
-        and assembler.spec.mixed
-        and not assembler.spec.plane_stress
-    )
+    bm = get_batched_model(assembler.model)
+    if bm is None:
+        return False
+    spec = assembler.spec
+    if getattr(bm, "plane_stress", False):
+        # displacement-only plane-stress kernel path (finite-deformation
+        # plane stress — z-stretch pullback — stays on the XLA path)
+        return (
+            spec.plane_stress
+            and not spec.mixed
+            and not bm.finite_deformation
+        )
+    return spec.mixed and not spec.plane_stress
 
 
 def _grad_u(u_T, gNT, d, npe):
@@ -134,7 +142,7 @@ def make_batched_elem_residual(bmodel, spec, N1_np, q1w_np):
     return f
 
 
-def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False):
+def make_pallas_assemble(assembler, block_e: int | None = None, interpret: bool = False):
     """Build assemble(x, x_prev, xi_prev, params_all) ->
     (R (n_dofs,), J_e (n_elem, nde, nde), diag, xi, path, nfail)."""
     disc = assembler.disc
@@ -142,6 +150,10 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
     bmodel = get_batched_model(model)
     if bmodel is None:
         raise ValueError(f"no batched twin for model '{model.name}'")
+    if block_e is None:
+        # twins with heavy per-element state declare a smaller block to
+        # fit the VMEM stack
+        block_e = getattr(bmodel, "block_e", 1024)
     nxi = assembler.nxi
     nde = spec.ndofs_elem
     npe = spec.npe
@@ -171,6 +183,8 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
 
     meas0 = PARENT_MEASURE[d]
     ndpn = spec.ndofs_per_node
+    mixed = spec.mixed
+    thick = float(spec.thickness)
     N1v = [[float(N1_np[q, n]) for n in range(npe)] for q in range(N1_np.shape[0])]
     w1v = [float(w) for w in np.asarray(q1w_np).ravel()]
     npts1 = len(w1v)
@@ -212,34 +226,51 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
             xiT, pathv, failv = bmodel.local_solve(xipT, kin, parT, rows_io)
 
         mu = parT[0] / (2.0 * (1.0 + parT[1]))
-        psf = bmodel.pressure_scale_factor(parT)
         wdv0 = dJ * meas0
-        tau = spec.stab_multiplier * 0.5 * hh * hh / mu
-        xm = x_eT.reshape(npe, ndpn, block_e)
-        p_eT = xm[:, d]
         gu_prev = kin.grad_u_prev
 
-        # frozen (state-independent under the gu/xi seeds) pressure data
-        p_ip = usum(p_eT, 0) * (1.0 / npe)
-        grad_p = []
-        for j in range(d):
-            acc = p_eT[0] * gNT[0, j]
-            for n in range(1, npe):
-                acc = acc + p_eT[n] * gNT[n, j]
-            grad_p.append(acc)
-        p_q = [
-            sum(N1v[q][n] * p_eT[n] for n in range(npe)) for q in range(npts1)
-        ]
-        coef = [(p_q[q] / psf) * (w1v[q] * dJ) for q in range(npts1)]
+        if mixed:
+            psf = bmodel.pressure_scale_factor(parT)
+            tau = spec.stab_multiplier * 0.5 * hh * hh / mu
+            xm = x_eT.reshape(npe, ndpn, block_e)
+            p_eT = xm[:, d]
+
+            # frozen (state-independent under the gu/xi seeds) pressure
+            # data
+            p_ip = usum(p_eT, 0) * (1.0 / npe)
+            grad_p = []
+            for j in range(d):
+                acc = p_eT[0] * gNT[0, j]
+                for n in range(1, npe):
+                    acc = acc + p_eT[n] * gNT[n, j]
+                grad_p.append(acc)
+            p_q = [
+                sum(N1v[q][n] * p_eT[n] for n in range(npe))
+                for q in range(npts1)
+            ]
+            coef = [(p_q[q] / psf) * (w1v[q] * dJ) for q in range(npts1)]
+        else:
+            p_ip = dJ * 0.0
 
         def S_rows(xi_, gu_):
             """FULL element residual rows (nde, E) at frozen nodal
             pressures — its (xi, gu) tangents are the state-dependent
-            Jacobian block; the p columns are appended analytically."""
+            Jacobian block; the p columns are appended analytically.
+            Non-mixed (plane-stress) specs emit only the thickness-
+            weighted momentum rows (mechanics_plane_stress.cpp)."""
             from calibr8_tpu.models.base import Kinematics as Kin
 
             kin_ = Kin(grad_u=gu_, grad_u_prev=gu_prev)
             sigma = bmodel.cauchy(xi_, kin_, parT, p_ip)
+            if not mixed:
+                rows = []
+                for n in range(npe):
+                    for i in range(d):
+                        acc = sigma[i, 0] * gNT[n, 0]
+                        for j in range(1, d):
+                            acc = acc + sigma[i, j] * gNT[n, j]
+                        rows.append(acc * wdv0 * thick)
+                return jnp.stack(rows, 0)
             if finite:
                 F_ = t_F(gu_)
                 sigma = t_mm(sigma, t_cof(F_))
@@ -326,6 +357,27 @@ def make_pallas_assemble(assembler, block_e: int = 1024, interpret: bool = False
                     row = row + cols[k][nxi + i] * dxi_dgu[k]
                 K.append(row)
             H0 = Hf0[nxi:]
+
+        if not mixed:
+            # displacement-only: J rows/cols are exactly the gu tangents
+            jrows = []
+            for n in range(npe):
+                for ci in range(d):
+                    i = n * d + ci
+                    ent = []
+                    for m in range(npe):
+                        for c in range(d):
+                            acc = K[i][c * d + 0] * gNT[m, 0]
+                            for j in range(1, d):
+                                acc = acc + K[i][c * d + j] * gNT[m, j]
+                            ent.append(acc)
+                    jrows.append(jnp.stack(ent, 0))
+            R_ref[...] = H0
+            J_ref[...] = jnp.stack(jrows, axis=0)
+            xi_ref[...] = xiT
+            path_ref[...] = pathv[None, :].astype(jnp.int32)
+            fail_ref[...] = failv[None, :].astype(jnp.int32)
+            return
 
         # ---- analytic pressure columns -------------------------------
         if finite:

@@ -373,9 +373,7 @@ class BatchedHyperJ2:
         return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
 
 
-def t_hill_params(parT, idx):
-    """(F, G, H, L, M, N) from the six R ratios at parT[idx:idx+6]."""
-    R00, R11, R22, R01, R02, R12 = (parT[idx + k] for k in range(6))
+def t_hill_from_ratios(R00, R11, R22, R01, R02, R12):
     F = 0.5 * (R11**-2 + R22**-2 - R00**-2)
     G = 0.5 * (R22**-2 + R00**-2 - R11**-2)
     H = 0.5 * (R00**-2 + R11**-2 - R22**-2)
@@ -383,6 +381,19 @@ def t_hill_params(parT, idx):
     M = 1.5 * R02**-2
     N = 1.5 * R01**-2
     return F, G, H, L, M, N
+
+
+def t_hill_params(parT, idx):
+    """(F, G, H, L, M, N) from the six R ratios at parT[idx:idx+6]."""
+    return t_hill_from_ratios(*(parT[idx + k] for k in range(6)))
+
+
+def t_hill_params_2d(parT, idx):
+    """Plane variants carry 4 ratios (R00, R11, R22, R01); R02 = R12 = 1
+    (small_hill_plane_*.cpp, hypo_hill_plane_*.cpp)."""
+    R00, R11, R22, R01 = (parT[idx + k] for k in range(4))
+    one = jnp.ones_like(R00)
+    return t_hill_from_ratios(R00, R11, R22, R01, one, one)
 
 
 def t_hill_value(s, hp, eps=1e-30):
@@ -502,7 +513,13 @@ class BatchedSmallHill:
 
 def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
     """Shared fixed-iteration masked batched Newton for implicit-mode
-    twins (Mosaic cannot lower vector-condition while loops)."""
+    twins (Mosaic cannot lower vector-condition while loops).
+
+    Twins exposing `precompute`/`residual_aux` get their xi-independent
+    kinematics work (e.g. the hypo family's polar decomposition +
+    unrotated rate) hoisted OUT of the Newton body — inside the loop it
+    would otherwise be retraced into every iteration AND every
+    linearize tangent pass, which blows up the Mosaic compile."""
     import jax
 
     from calibr8_tpu.utils.smallsolve import gauss_solve_T
@@ -516,12 +533,23 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
     else:
         rows = rows_io[:nxi]
 
+    if hasattr(bm, "precompute"):
+        aux = bm.precompute(kinT, parT)
+
+        def resid(z, path):
+            return bm.residual_aux(z, xipT, aux, parT, path)
+
+    else:
+
+        def resid(z, path):
+            return bm.residual(z, xipT, kinT, parT, path)
+
     def body(state):
         xi, done, it = state
         path = bm.pathfn(xi, xipT, kinT, parT)
 
         def C(z):
-            return bm.residual(z, xipT, kinT, parT, path)
+            return resid(z, path)
 
         R, lin = jax.linearize(C, xi)
         rnorm = jnp.sqrt(usum(R * R, 0))
@@ -548,16 +576,271 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
         cond, body, (xi0, jnp.zeros(E, dtype), jnp.asarray(0, jnp.int32))
     )
     path = bm.pathfn(xi, xipT, kinT, parT)
-    Rf = bm.residual(xi, xipT, kinT, parT, path)
+    Rf = resid(xi, path)
     rnorm = jnp.sqrt(usum(Rf * Rf, 0))
     failed = (rnorm >= jnp.maximum(bm.abs_tol * 10.0, 1e-30)).astype(jnp.int32)
     return xi, path, failed
+
+
+# -- hypo family (objective unrotated rates) ----------------------------
+
+
+def t_polar(F, iters: int = 6):
+    """Rotation factor of F = R U via Higham's scaled Newton iteration in
+    trailing layout (models/base.py:polar_rotation twin).  Quadratic
+    convergence: 6 iterations reach roundoff for any |strain| < ~0.5, so
+    the result matches the generic path's 12-iteration fixed point; the
+    shorter unroll halves the Mosaic compile of kernels that
+    differentiate through it.  cbrt and vector-exponent pow have no
+    Mosaic lowering -> exp(log()/d)."""
+    d = F.shape[0]
+    R = F
+    for _ in range(iters):
+        # inv(R)^T = (cof(R)^T / det)^T = cof(R) / det
+        Rit = t_cof(R) / t_det(R)
+        s = jnp.exp(-jnp.log(jnp.abs(t_det(R)) + 1e-300) / d)
+        s = jnp.where(jnp.isfinite(s), s, 1.0)
+        R = 0.5 * (s * R + Rit / s)
+    return R
+
+
+def t_unrotated_rate(kinT):
+    """d = R^T sym((F - F_prev) F^{-1}) R (hypo_kinematics.hpp:10-17),
+    trailing layout.  Returns (d, R)."""
+    F = t_F(kinT.grad_u)
+    F_prev = t_F(kinT.grad_u_prev)
+    L = t_mm(F - F_prev, t_inv(F))
+    D = t_sym(L)
+    R = t_polar(F)
+    return t_mm(t_mm(t_transpose(R), D), R), R
+
+
+class BatchedHypoHill:
+    """Trailing-layout twin of HypoHill (models/hypo.py, reference
+    hypo_hill.cpp — and hypo_J2 via unit ratios): hypoelastic update of
+    the unrotated Cauchy stress TC with Hill yield + Voce hardening,
+    residual scaled by 1/mu (hypo_hill.cpp:266-268).  Implicit kernel
+    mode (the anisotropic return has no closed form); the polar rotation
+    is the same fixed-iteration Higham Newton as the generic path.
+
+    xi (7, E): [TC voigt (6), alpha];
+    params (11, E): [E, nu, Y, R00, R11, R22, R01, R02, R12, S, D].
+    """
+
+    name = "hypo_hill"
+    finite_deformation = True
+    analytic_solve = False
+    newton_iters = 20
+    # heavy per-element state (polar intermediates under 16 tangent
+    # seeds): a 1024-element block overflows the 16 MB VMEM stack
+    block_e = 256
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 3
+        self.nc = 6
+        self.nxi = 7
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _lam(self, parT):
+        E, nu = parT[0], parT[1]
+        return E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+
+    def _voce(self, alpha, parT):
+        Y, S, D = parT[2], parT[9], parT[10]
+        return Y + S * (1.0 - jnp.exp(-D * alpha))
+
+    def _elastic_update(self, TC_old, d, parT):
+        lam, mu = self._lam(parT), self._mu(parT)
+        return t_add_diag(TC_old + 2.0 * mu * d, lam * t_trace(d))
+
+    def first_guess(self, xipT, kinT, parT):
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 3)
+        d, _ = t_unrotated_rate(kinT)
+        TC = self._elastic_update(TC_old, d, parT)
+        return jnp.concatenate(
+            [t_sym_to_voigt(TC, 3), xipT[self.nc][None, :]], axis=0
+        )
+
+    def _f_and_n(self, xiT, parT):
+        mu = self._mu(parT)
+        TC = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        hp = t_hill_params(parT, 3)
+        hval = t_hill_value(TC, hp)
+        f = (hval - self._voce(alpha, parT)) / mu
+        return f, t_hill_normal(TC, hp, hval)
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        f, _ = self._f_and_n(xiT, parT)
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    # the unrotated rate d (polar decomposition + tensor products) is
+    # xi-INDEPENDENT: precompute/residual_aux let the batched Newton
+    # hoist it out of every iteration and tangent pass (it dominates
+    # the Mosaic compile and VMEM pressure otherwise)
+    def precompute(self, kinT, parT):
+        d, _ = t_unrotated_rate(kinT)
+        return d
+
+    def residual_aux(self, xiT, xipT, d, parT, path):
+        mu = self._mu(parT)
+        TC = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 3)
+        alpha_old = xipT[self.nc]
+        R_TC = (TC - self._elastic_update(TC_old, d, parT)) / mu
+        f, n = self._f_and_n(xiT, parT)
+        dgam = alpha - alpha_old
+        w = (path == 1).astype(xiT.dtype)
+        # plastic: R_TC + (2 mu dgam n)/mu (hypo_hill.cpp residual)
+        R_out = R_TC + (w * 2.0 * dgam) * n
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_out, 3), R_a[None, :]], axis=0
+        )
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        return self.residual_aux(
+            xiT, xipT, self.precompute(kinT, parT), parT, path
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+    # stress measures (rotated back: RC = R TC R^T) ----------------------
+    def _rotated(self, xiT, kinT):
+        TC = t_voigt_to_sym(xiT[: self.nc], 3)
+        R = t_polar(t_F(kinT.grad_u))
+        return t_mm(t_mm(R, TC), t_transpose(R))
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        return t_trace(self._rotated(xiT, kinT)) / 3.0
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        RC = self._rotated(xiT, kinT)
+        return t_sub_diag(RC, t_trace(RC) / 3.0)
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        RC = self._rotated(xiT, kinT)
+        return t_sub_diag(RC, t_trace(RC) / 3.0 + pT)
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+
+class BatchedSmallHillPlaneStress:
+    """Trailing-layout twin of SmallHillPlaneStress
+    (models/small_strain.py, reference small_hill_plane_stress.cpp):
+    displacement-only plane stress — sigma_zz eliminated in closed form
+    via epsilon_zz, Hill yield on the 3D embedding of the full in-plane
+    Cauchy stress, Voce hardening.  Implicit kernel mode; used with the
+    'mechanics_plane_stress' global residual (the kernel's non-mixed
+    plane-stress path, fem/pallas_assembly.py).
+
+    xi (4, E): [pstrain voigt (3), alpha];
+    params (9, E): [E, nu, Y, S, D, R00, R11, R22, R01].
+    """
+
+    name = "small_hill_plane_stress"
+    finite_deformation = False
+    analytic_solve = False
+    plane_stress = True
+    newton_iters = 16
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 2
+        self.nc = 3
+        self.nxi = 4
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _lam(self, parT):
+        E, nu = parT[0], parT[1]
+        return E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+
+    def _voce(self, alpha, parT):
+        Y, S, D = parT[2], parT[3], parT[4]
+        return Y + S * (1.0 - jnp.exp(-D * alpha))
+
+    def cauchy(self, xiT, kinT, parT, pT=None):
+        """Full in-plane Cauchy with sigma_zz = 0 eliminated
+        (small_hill_plane_stress.cpp cauchy)."""
+        lam, mu = self._lam(parT), self._mu(parT)
+        ps = t_voigt_to_sym(xiT[: self.nc], 2)
+        eps = t_sym(kinT.grad_u)
+        eps_zz = -(lam * t_trace(eps) + 2.0 * mu * t_trace(ps)) / (
+            lam + 2.0 * mu
+        )
+        return t_add_diag(
+            2.0 * mu * (eps - ps), lam * (t_trace(eps) + eps_zz)
+        )
+
+    def _embed3(self, c2):
+        z = jnp.zeros_like(c2[0, 0])
+        r0 = jnp.stack([c2[0, 0], c2[0, 1], z], 0)
+        r1 = jnp.stack([c2[1, 0], c2[1, 1], z], 0)
+        r2 = jnp.stack([z, z, z], 0)
+        return jnp.stack([r0, r1, r2], 0)
+
+    def _f_and_n2(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        alpha = xiT[self.nc]
+        s3 = self._embed3(self.cauchy(xiT, kinT, parT))
+        hp = t_hill_params_2d(parT, 5)
+        hval = t_hill_value(s3, hp)
+        f = (hval - self._voce(alpha, parT)) / mu
+        n3 = t_hill_normal(s3, hp, hval)
+        n0 = jnp.stack([n3[0, 0], n3[0, 1]], 0)
+        n1 = jnp.stack([n3[1, 0], n3[1, 1]], 0)
+        return f, jnp.stack([n0, n1], 0)
+
+    def first_guess(self, xipT, kinT, parT):
+        return xipT
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        f, _ = self._f_and_n2(xiT, kinT, parT)
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        ps = t_voigt_to_sym(xiT[: self.nc], 2)
+        alpha = xiT[self.nc]
+        ps_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        alpha_old = xipT[self.nc]
+        f, n = self._f_and_n2(xiT, kinT, parT)
+        dgam = alpha - alpha_old
+        w = (path == 1).astype(xiT.dtype)
+        R_p = ps - ps_old - (w * dgam) * n
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_p, 2), R_a[None, :]], axis=0
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+    # (non-mixed global residual: hydro/psf never called)
+    def hydro_cauchy(self, xiT, kinT, parT):
+        return t_trace(self._embed3(self.cauchy(xiT, kinT, parT))) / 3.0
+
+    def pressure_scale_factor(self, parT):
+        return jnp.zeros_like(parT[0])
 
 
 BATCHED_MODELS = {
     "small_J2": BatchedSmallJ2,
     "hyper_J2": BatchedHyperJ2,
     "small_hill": BatchedSmallHill,
+    "hypo_hill": BatchedHypoHill,
+    "small_hill_plane_stress": BatchedSmallHillPlaneStress,
 }
 
 

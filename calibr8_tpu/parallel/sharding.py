@@ -34,17 +34,21 @@ def device_mesh(n_devices=None, axis="elems") -> Mesh:
 
 
 def pad_elements(disc, multiple: int):
-    """Pad the element axis so it divides the device count.
+    """Return a COPY of the Disc with the element axis padded so it
+    divides the device count (the input Disc is left untouched — a
+    padded Disc silently corrupts later single-device use).
 
     Padding elements scatter into dof 0 with zero geometry (detJ = 0
     kills their residual/Jacobian contributions; grad_N = 0 keeps the
     local solves trivially elastic)."""
+    import copy
+
     n = disc.n_elem
     n_pad = (-n) % multiple
     if n_pad == 0:
         return disc, 0
-    npe = disc.spec.npe
-    d = disc.spec.dim
+    disc = copy.copy(disc)
+    disc._node_inc = None  # cache depends on the element arrays
 
     def pad(x, value=0.0):
         pad_shape = (n_pad,) + tuple(x.shape[1:])

@@ -1,0 +1,150 @@
+"""Batched (trailing-layout) model twins and the fused Pallas assembly
+kernel vs the generic XLA path — run in Pallas interpret mode on CPU so
+the TPU fast path is gated by the regular suite.
+
+Twin coverage: small_J2 (analytic return), hyper_J2 (implicit, finite
+deformation), small_hill (implicit, anisotropic), hypo_hill (implicit,
+objective rates + polar rotation — covers hypo_J2 via unit ratios), and
+small_hill_plane_stress (displacement-only plane-stress kernel path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from calibr8_tpu.deck import load_deck
+from calibr8_tpu.fem import pallas_assembly
+from calibr8_tpu.problem import Problem
+
+from tests.decks import BCS_2D, BCS_3D, J2_MAT, UNIT_R, make_deck
+
+VOCE = {"E": 1000.0, "nu": 0.25, "Y": 10.0, "S": 5.0, "D": 2.0}
+HILL2D = {**VOCE, "R00": 1.0, "R11": 1.1, "R22": 0.95, "R01": 1.05}
+
+CASES = [
+    (
+        "small_J2",
+        {"type": "cube", "n": 2},
+        "small_J2",
+        J2_MAT,
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
+        "hyper_J2",
+        {"type": "cube", "n": 2},
+        "hyper_J2",
+        {**J2_MAT, "S": 0.0, "D": 0.0, "A": 0.0, "n": 0.0},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
+        "small_hill",
+        {"type": "cube", "n": 2},
+        "small_hill",
+        {**VOCE, **UNIT_R},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
+        "hypo_hill",
+        {"type": "cube", "n": 2},
+        "hypo_hill",
+        {**VOCE, **UNIT_R},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
+        "small_hill_plane_stress",
+        {"type": "notch2D", "h": 0.3},
+        "small_hill_plane_stress",
+        HILL2D,
+        BCS_2D(0.01),
+        "mechanics_plane_stress",
+    ),
+]
+
+
+def _state(prob, scale):
+    """Deformed state with both plastic and elastic integration points."""
+    disc = prob.disc
+    rng = np.random.default_rng(0)
+    coords = np.asarray(disc.coords)
+    d = disc.spec.dim
+    u = np.zeros((disc.n_nodes, d))
+    u[:, 1] = scale * coords[:, 1] ** 2  # inhomogeneous -> partial yield
+    u[:, 0] = -0.3 * scale * coords[:, 0]
+    u = u + 0.02 * scale * rng.standard_normal(u.shape)
+    if disc.spec.mixed:
+        x = disc.join(jnp.asarray(u), jnp.zeros(disc.n_nodes))
+    else:
+        x = jnp.asarray(u.reshape(-1))
+    xi_prev = jnp.tile(
+        jnp.asarray(prob.assembler.model.init_xi())[None, :],
+        (disc.n_elem, 1),
+    )
+    return x, disc.zero_x(), xi_prev
+
+
+FAST = {"small_J2", "small_hill_plane_stress"}  # both kernel modes +
+# the plane-stress path; the implicit 3D twins take minutes in
+# interpret mode and run in the slow suite
+
+
+@pytest.mark.parametrize(
+    "name,mesh,model,mats,bcs,gtype",
+    [c for c in CASES if c[0] in FAST],
+    ids=[c[0] for c in CASES if c[0] in FAST],
+)
+def test_pallas_twin_matches_generic(name, mesh, model, mats, bcs, gtype):
+    _run_twin_case(name, mesh, model, mats, bcs, gtype)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,mesh,model,mats,bcs,gtype",
+    [c for c in CASES if c[0] not in FAST],
+    ids=[c[0] for c in CASES if c[0] not in FAST],
+)
+def test_pallas_twin_matches_generic_slow(name, mesh, model, mats, bcs, gtype):
+    _run_twin_case(name, mesh, model, mats, bcs, gtype)
+
+
+def _run_twin_case(name, mesh, model, mats, bcs, gtype):
+    deck = make_deck(mesh, model, mats, bcs, 1, global_type=gtype)
+    prob = Problem(load_deck(deck))
+    a = prob.assembler
+    assert pallas_assembly.supports_pallas(a), f"{name}: twin not wired"
+
+    x, x_prev, xi_prev = _state(prob, 0.02)
+    loc = a.local_solve(x, x_prev, xi_prev, prob.params0)
+    # the state must exercise BOTH branches
+    paths = np.asarray(loc.path)
+    assert paths.min() == 0 and paths.max() == 1, (
+        f"{name}: single-branch state (paths {np.unique(paths)})"
+    )
+    R0, J_e0, diag0 = a.residual_and_jacobian(
+        x, x_prev, loc.xi, xi_prev, loc.path, prob.params0
+    )
+
+    assemble = pallas_assembly.make_pallas_assemble(
+        a, block_e=128, interpret=True
+    )
+    R, J_e, diag, xi, path, nfail = assemble(x, x_prev, xi_prev, prob.params0)
+
+    assert int(nfail) == 0
+    np.testing.assert_array_equal(np.asarray(path), paths)
+    np.testing.assert_allclose(
+        np.asarray(xi), np.asarray(loc.xi), rtol=1e-8, atol=1e-10
+    )
+    scale_R = max(float(jnp.max(jnp.abs(R0))), 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(R), np.asarray(R0), atol=1e-9 * scale_R
+    )
+    scale_J = max(float(jnp.max(jnp.abs(J_e0))), 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(J_e), np.asarray(J_e0), atol=5e-7 * scale_J
+    )
+    np.testing.assert_allclose(
+        np.asarray(diag), np.asarray(diag0), atol=5e-7 * scale_J
+    )
