@@ -332,6 +332,7 @@ def main():
             "--n",
             str(n),
         ]
+        r = None
         try:
             r = subprocess.run(
                 cmd,
@@ -343,7 +344,10 @@ def main():
             line = r.stdout.strip().splitlines()[-1]
             detail[f"{mode}_{dtype}"] = json.loads(line)
         except Exception as e:  # noqa: BLE001 — record and continue
-            detail[f"{mode}_{dtype}"] = {"error": str(e)[-300:]}
+            err = {"error": str(e)[-300:]}
+            if r is not None and r.stderr:
+                err["stderr_tail"] = r.stderr[-600:]
+            detail[f"{mode}_{dtype}"] = err
 
     head = detail.get("assembly_f32", {})
     gdofs = head.get("gdof_per_s", 0.0)

@@ -85,19 +85,19 @@ def cmd_primal(args):
         from calibr8_tpu.io.synthetic import attach_synthetic, save_fields
 
         attach_synthetic(prob.mesh, prob.disc, traj)
+        out = spec.problem_name + "_synthetic.npz"
+        save_fields(prob.mesh, out)
+        print(f"synthetic fields written: {out}")
         # the reference stores synthetic data as fields INSIDE the
         # native mesh (synthetic.hpp:15-18, main_primal.cpp:193-196);
-        # meshes loaded from .smb write back the same way, generated
-        # meshes fall back to the .npz sidecar
+        # meshes loaded from .smb additionally write back the same way
+        # (a calibration deck can point its `mesh file` straight at it)
         if getattr(prob.mesh, "smb_template", None) is not None:
             from calibr8_tpu.mesh.smb import write_smb
 
-            out = spec.problem_name + "_synthetic.smb"
-            write_smb(prob.mesh, out)
-        else:
-            out = spec.problem_name + "_synthetic.npz"
-            save_fields(prob.mesh, out)
-        print(f"synthetic fields written: {out}")
+            out_smb = spec.problem_name + "_synthetic.smb"
+            write_smb(prob.mesh, out_smb)
+            print(f"synthetic mesh written: {out_smb}")
     if args.vtk:
         from calibr8_tpu.io.vtk import write_pvd
 
@@ -126,6 +126,50 @@ def _build_objective(spec, prob):
 
         obj, active = build_vfm_objective(
             prob, inverse, spec.sub("virtual fields")
+        )
+    elif obj_type == "EUCLID":
+        # multi-virtual-field EUCLID objective
+        # (reference: main_objective.cpp:409-509); deck sublist:
+        #   virtual fields: {vf 1: [node_set, component, obj_scale,
+        #                           load_scale], ...}
+        import jax.numpy as jnp
+
+        from calibr8_tpu.opt.vfm_objective import (
+            EUCLIDObjective,
+            read_load_file,
+        )
+        from calibr8_tpu.solve.vfm import VirtualPower
+
+        vfs = spec.sub("virtual fields")
+        entries = [v for _, v in sorted(vfs.items())]
+        assert entries, "EUCLID needs a 'virtual fields' sublist"
+        names = [e[0] for e in entries]
+        comps = [int(e[1]) for e in entries]
+        oscales = [float(e[2]) if len(e) > 2 else 1.0 for e in entries]
+        lscales = [float(e[3]) if len(e) > 3 else 1.0 for e in entries]
+        load_data = read_load_file(inverse["load input file"])
+        vp = VirtualPower(
+            prob, jnp.zeros(prob.disc.n_dofs, prob.disc.dtype)
+        )
+        obj = EUCLIDObjective(
+            prob, vp, active, load_data,
+            node_set_names=names,
+            vf_components=comps,
+            obj_scale_factors=oscales,
+            load_scale_factors=lscales,
+        )
+    elif obj_type in ("EqGap", "equilibrium gap"):
+        import jax.numpy as jnp
+
+        from calibr8_tpu.opt.vfm_objective import EquilibriumGapObjective
+        from calibr8_tpu.solve.vfm import VirtualPower
+
+        vp = VirtualPower(
+            prob, jnp.zeros(prob.disc.n_dofs, prob.disc.dtype)
+        )
+        obj = EquilibriumGapObjective(
+            prob, vp, active,
+            gap_scale=float(inverse.get("objective scale factor", 1.0)),
         )
     else:
         raise ValueError(f"unknown objective type {obj_type!r}")

@@ -335,6 +335,14 @@ def ebe_matvec_disc(J_e, disc, v):
     FMAs, ~6x faster than the batched-small-matmul lowering."""
     if J_e.shape[0] == J_e.shape[1]:  # trailing (nde, nde, E_pad)
         return ebe_matvec_T(J_e, disc, v)
+    from calibr8_tpu.fem import pallas_matvec
+
+    if jax.default_backend() == "tpu" and pallas_matvec._pick_block(
+        J_e.shape[0]
+    ):
+        # elem-first from the XLA assembly path: one (jit-hoisted)
+        # relayout to trailing, then the Pallas kernel per iteration
+        return ebe_matvec_T(jnp.moveaxis(J_e, 0, -1), disc, v)
     v_e = disc.gather_elem(v)
     Jv_e = jnp.einsum("eij,ej->ei", J_e, v_e)
     return disc.scatter_elem(Jv_e)
@@ -342,7 +350,14 @@ def ebe_matvec_disc(J_e, disc, v):
 
 def ebe_matvec_T(J_T, disc, v):
     """Trailing-layout EBE matvec: y = sum_e P_e^T J_e P_e v with
-    J_T (nde, nde, E_pad)."""
+    J_T (nde, nde, E_pad).  On TPU the per-element contraction runs in
+    a Pallas kernel (fem/pallas_matvec.py) — the XLA lowering below
+    re-streams the 200 MB of element Jacobians per FMA and measures
+    ~40x off the HBM floor."""
+    from calibr8_tpu.fem import pallas_matvec
+
+    if pallas_matvec.supports(J_T):
+        return pallas_matvec.ebe_matvec_T_tpu(J_T, disc, v)
     nde = J_T.shape[0]
     v_eT = disc.gather_elem(v).T  # (nde, n_elem)
     n_elem = v_eT.shape[1]

@@ -405,8 +405,13 @@ class DistContext:
         return self._scatter_elem_sm(rows, self.conn, self._send_recv)
 
     # -- linear solve ------------------------------------------------------
-    def make_precond(self, J_T, diag, bc_mask):
+    def make_precond(self, J_T, diag, bc_mask, transpose=False):
         blocks = self.node_blocks(J_T)  # (P, N_own, ndpn, ndpn)
+        if transpose:
+            # J_T arrives pre-swapped for transpose solves; the
+            # preconditioner is the TRANSPOSE of the forward block GS,
+            # built from the forward blocks (solve/precond.py)
+            blocks = blocks.swapaxes(-1, -2)
         d = self.disc.spec.dim
         ndpn = self.ndpn
         eye = jnp.eye(ndpn, dtype=blocks.dtype)
@@ -431,6 +436,13 @@ class DistContext:
             Apu = app = None
 
         def M(r):
+            if transpose:
+                if Apu is None:
+                    return jnp.einsum("pnji,pnj->pni", Au_inv, r[..., :d])
+                zp = r[..., d] / app
+                ru = r[..., :d] - Apu * zp[..., None]
+                zu = jnp.einsum("pnji,pnj->pni", Au_inv, ru)
+                return jnp.concatenate([zu, zp[..., None]], axis=-1)
             zu = jnp.einsum("pnij,pnj->pni", Au_inv, r[..., :d])
             if Apu is None:
                 return zu
@@ -440,27 +452,28 @@ class DistContext:
 
         return M
 
-    def solve_linear(self, cfg, J_T, diag, b, bc_mask):
+    def solve_linear(self, cfg, J_T, diag, b, bc_mask, transpose=False):
         """Solve J x = b with Dirichlet rows diag * x_row = b_row, all
-        vectors sharded.  transpose is handled by swapping J_T's element
-        row/col axes (same trick as the single-chip path).  The whole
-        solve is jitted once per LinearCfg (the shard_map matvec would
-        otherwise be re-traced every Krylov call)."""
-        key = cfg
+        vectors sharded.  transpose=True expects J_T's element row/col
+        axes ALREADY swapped (same trick as the single-chip path) and
+        switches the preconditioner to the transposed forward one.  The
+        whole solve is jitted once per LinearCfg (the shard_map matvec
+        would otherwise be re-traced every Krylov call)."""
+        key = (cfg, transpose)
         fn = self._lin_cache.get(key) if hasattr(self, "_lin_cache") else None
         if not hasattr(self, "_lin_cache"):
             self._lin_cache = {}
         if fn is None:
-            fn = jax.jit(partial(self._solve_linear_impl, cfg))
+            fn = jax.jit(partial(self._solve_linear_impl, cfg, transpose))
             self._lin_cache[key] = fn
         return fn(J_T, diag, b, bc_mask)
 
-    def _solve_linear_impl(self, cfg, J_T, diag, b, bc_mask):
+    def _solve_linear_impl(self, cfg, transpose, J_T, diag, b, bc_mask):
         def op(v):
             out = self.matvec(J_T, v)
             return jnp.where(bc_mask, diag * v, out)
 
-        M = self.make_precond(J_T, diag, bc_mask)
+        M = self.make_precond(J_T, diag, bc_mask, transpose=transpose)
         method = cfg.method
         if method in ("auto", "dense"):
             method = "gmres"
@@ -472,12 +485,16 @@ class DistContext:
                     op, rhs, tol=cfg.tol, maxiter=cfg.max_iters, M=M
                 )
             else:
+                # jax gmres 'maxiter' counts OUTER restart cycles; cfg
+                # speaks in TOTAL inner iterations
+                restart = min(cfg.restart, n)
+                n_outer = max(1, -(-cfg.max_iters // restart))
                 y, _ = jax.scipy.sparse.linalg.gmres(
                     op,
                     rhs,
                     tol=cfg.tol,
-                    maxiter=cfg.max_iters,
-                    restart=min(cfg.restart, n),
+                    maxiter=n_outer,
+                    restart=restart,
                     M=M,
                     solve_method="batched",
                 )
@@ -610,6 +627,7 @@ class DistAdjoint:
             diag,
             rhs,
             bc_mask,
+            transpose=True,
         )
 
         # local adjoint and history updates

@@ -42,6 +42,10 @@ class LinearCfg:
     # adjoint.cpp:113-180): after each Krylov solve, re-solve for the
     # residual correction until ||b - A x|| drops below tol * ||b||
     refine_iters: int = 0
+    # Krylov operator form: 'auto' assembles node-block ELLPACK on TPU
+    # (scatter-free matvec, ~3x faster per iteration; solve/ellpack.py),
+    # 'ebe' forces the matrix-free element-by-element apply
+    operator: str = "auto"
 
 
 def solve(
@@ -106,9 +110,17 @@ def solve_info(
         x = jnp.linalg.solve(A, b)
         return x, jnp.linalg.norm(b - A @ x) / safe_nb
 
-    def op(v):
-        out = ebe_matvec_disc(op_e, disc, v)
-        return apply_dbcs_matvec(out, diag, v, bc_dofs)
+    if cfg.operator != "ebe" and jax.default_backend() == "tpu":
+        # assembled node-block ELL apply: built once per solve (jit
+        # hoists it out of the Krylov loop), no per-iteration scatter
+        from calibr8_tpu.solve.ellpack import EllOperator
+
+        op = EllOperator(disc, op_e, diag, bc_dofs)
+    else:
+
+        def op(v):
+            out = ebe_matvec_disc(op_e, disc, v)
+            return apply_dbcs_matvec(out, diag, v, bc_dofs)
 
     if mg is not None:
         # geometric multigrid V-cycle (the MueLu AMG analog, solve/mg.py)
@@ -116,7 +128,9 @@ def solve_info(
     elif cfg.preconditioner == "block_gs":
         from calibr8_tpu.solve.precond import BlockJacobiGS
 
-        M = BlockJacobiGS(disc, op_e, diag, bc_dofs)
+        # transpose solves use the TRANSPOSED forward preconditioner,
+        # built from the forward Jacobians (solve/precond.py)
+        M = BlockJacobiGS(disc, J_e, diag, bc_dofs, transpose=transpose)
     else:
         safe_diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
 
@@ -129,12 +143,16 @@ def solve_info(
                 op, rhs, tol=cfg.tol, maxiter=cfg.max_iters, M=M
             )
         else:
+            # jax gmres 'maxiter' counts OUTER restart cycles; cfg
+            # speaks in TOTAL inner iterations (the Belos convention)
+            restart = min(cfg.restart, n_dofs)
+            n_outer = max(1, -(-cfg.max_iters // restart))
             y, _ = jax.scipy.sparse.linalg.gmres(
                 op,
                 rhs,
                 tol=cfg.tol,
-                maxiter=cfg.max_iters,
-                restart=min(cfg.restart, n_dofs),
+                maxiter=n_outer,
+                restart=restart,
                 M=M,
                 solve_method="batched",
             )
