@@ -35,16 +35,19 @@ import sys
 import time
 
 
-def build_problem(n, dtype_str):
+def build_problem(n, dtype_str, refinements=0):
     import jax.numpy as jnp
 
     from calibr8_tpu.deck import load_deck
     from calibr8_tpu.problem import Problem
 
     tol = 1e-5 if dtype_str == "f32" else 1e-12
+    mesh_spec = {"type": "cube", "n": n}
+    if refinements:
+        mesh_spec["refinements"] = refinements
     deck = {
         "discretization": {
-            "builtin mesh": {"type": "cube", "n": n},
+            "builtin mesh": mesh_spec,
             "num steps": 2,
             "step size": 1.0,
         },
@@ -70,6 +73,8 @@ def build_problem(n, dtype_str):
         },
         "quantity of interest": {"type": "average displacement"},
     }
+    if refinements:
+        deck["linear algebra"] = {"preconditioner": "multigrid"}
     dtype = jnp.float32 if dtype_str == "f32" else jnp.float64
     return Problem(load_deck(deck), dtype=dtype)
 
@@ -177,7 +182,10 @@ def run_mode(mode, dtype_str, n):
     import jax
     import jax.numpy as jnp
 
-    prob = build_problem(n, dtype_str)
+    refinements = 2 if mode == "newton_mg" else 0
+    if mode == "newton_mg":
+        mode = "newton"
+    prob = build_problem(n, dtype_str, refinements=refinements)
     disc = prob.disc
     x, x_prev, xi_prev = representative_state(prob)
     params = prob.params0
@@ -243,22 +251,29 @@ def run_mode(mode, dtype_str, n):
             restart=100,
         )
 
+        mg = prob.mg_factory if refinements else None
+
         @jax.jit
         def newton_step(x, x_prev, xi_prev, params, bc_dofs, bc_vals):
             R, J_e, diag, xi, path, nfail = assemble(
                 x, x_prev, xi_prev, params
             )
             R = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
-            dx = linear_mod.solve(
-                lin_cfg, J_e, disc, diag, -R, bc_dofs
+            dx, relres = linear_mod.solve_info(
+                lin_cfg, J_e, disc, diag, -R, bc_dofs, mg=mg
             )
-            return x + dx, xi, jnp.linalg.norm(R)
+            return x + dx, xi, jnp.linalg.norm(R), relres
 
         dt = timeit(
             newton_step, (x, x_prev, xi_prev, params, bc_dofs, bc_vals), iters
         )
         out["seconds"] = dt
         out["gdof_per_s"] = disc.n_dofs / dt / 1e9
+        out["solve_relres"] = float(
+            newton_step(x, x_prev, xi_prev, params, bc_dofs, bc_vals)[3]
+        )
+        if refinements:
+            out["preconditioner"] = "multigrid"
 
     elif mode == "adjoint":
         from calibr8_tpu.solve.adjoint import Adjoint
@@ -315,6 +330,7 @@ def main():
     plans = [
         ("assembly", "f32", 32),
         ("newton", "f32", 32),
+        ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
         ("adjoint", "f32", 32),
         ("assembly", "f64", 20),
         ("newton", "f64", 20),

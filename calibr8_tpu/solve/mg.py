@@ -157,13 +157,25 @@ class MGPrecondFactory:
         diag_u = diag[:n_u]
         bc_u = bc_mask[:n_u]
 
-        def op_u(v):
-            V = v.reshape(disc.n_nodes, d)
-            v_e = V[conn].reshape(disc.n_elem, -1)
-            y_e = jnp.einsum("eij,ej->ei", J_uu, v_e)
-            Y = disc.scatter_rows(y_e.reshape(-1, d))
-            out = Y.reshape(-1)
-            return jnp.where(bc_u, diag_u * v, out)
+        if op is not None:
+            # restrict the FULL operator (the fast assembled-ELL apply
+            # on TPU): y_u = A_uu v_u is op([v_u; 0]) truncated — the p
+            # columns see zeros, the p rows are dropped
+            n_p = disc.n_dofs - n_u
+
+            def op_u(v):
+                z = jnp.concatenate([v, jnp.zeros(n_p, v.dtype)])
+                return op(z)[:n_u]
+
+        else:
+
+            def op_u(v):
+                V = v.reshape(disc.n_nodes, d)
+                v_e = V[conn].reshape(disc.n_elem, -1)
+                y_e = jnp.einsum("eij,ej->ei", J_uu, v_e)
+                Y = disc.scatter_rows(y_e.reshape(-1, d))
+                out = Y.reshape(-1)
+                return jnp.where(bc_u, diag_u * v, out)
 
         # coarse Galerkin operator of the (Dirichlet-masked) u block
         mask_u = jnp.where(bc_u, 0.0, 1.0).astype(Jef.dtype)

@@ -62,7 +62,11 @@ def test_singular_linear_solve_raises():
     b = jnp.asarray(
         (1.0 - mask_flat) + 0.01 * mask_flat * rng.standard_normal(disc.n_dofs)
     )
-    cfg = LinearCfg(method="gmres", tol=1e-10, max_iters=60)
+    # max_iters counts TOTAL inner iterations; give the healthy check a
+    # full-dimension Krylov budget
+    cfg = LinearCfg(
+        method="gmres", tol=1e-10, max_iters=2 * disc.n_dofs, restart=200
+    )
     x, relres = solve_info(cfg, J_z, disc, diag_z, b, bc_dofs)
     rr = float(relres)
     assert not np.isfinite(rr) or rr > 0.5
