@@ -244,11 +244,15 @@ def run_mode(mode, dtype_str, n):
 
         assemble = make_assemble(prob)
         bc_dofs, bc_vals = prob.dbcs.arrays(1.0)
+        # to-convergence budget (max_iters counts TOTAL inner
+        # iterations; solve_relres in the output verifies the solve
+        # actually reached tol — one-level block-GS needs ~400 at 196k
+        # elements, the MG variant a small fraction of that)
         lin_cfg = linear_mod.LinearCfg(
             method="gmres",
             tol=1e-4 if dtype_str == "f32" else 1e-6,
-            max_iters=100,
-            restart=100,
+            max_iters=1500,
+            restart=150,
         )
 
         mg = prob.mg_factory if refinements else None
@@ -282,8 +286,8 @@ def run_mode(mode, dtype_str, n):
         lin_cfg = linear_mod.LinearCfg(
             method="gmres",
             tol=1e-4 if dtype_str == "f32" else 1e-8,
-            max_iters=100,
-            restart=100,
+            max_iters=1500,
+            restart=150,
             refine_iters=0,
         )
         adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, lin_cfg)
