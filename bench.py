@@ -251,8 +251,9 @@ def run_mode(mode, dtype_str, n):
         lin_cfg = linear_mod.LinearCfg(
             method="gmres",
             tol=1e-4 if dtype_str == "f32" else 1e-6,
-            max_iters=1500,
-            restart=150,
+            max_iters=800,
+            restart=100,
+            refine_iters=1,
         )
 
         mg = prob.mg_factory if refinements else None

@@ -161,7 +161,11 @@ def solve_info(
     x = krylov(b)
     for _ in range(cfg.refine_iters):
         r = b - op(x)
+        cand = x + krylov(r)
+        # guard: a broken refinement pass (f32 restarted-GMRES breakdown
+        # producing NaN) must not destroy a good solution
+        ok = jnp.isfinite(jnp.sum(cand))
         x = jnp.where(
-            jnp.linalg.norm(r) > cfg.tol * norm_b, x + krylov(r), x
+            (jnp.linalg.norm(r) > cfg.tol * norm_b) & ok, cand, x
         )
     return x, jnp.linalg.norm(b - op(x)) / safe_nb
