@@ -479,37 +479,53 @@ class DistContext:
             method = "gmres"
         n = int(np.prod(b.shape))
 
-        def krylov(rhs):
-            if method == "cg":
-                y, _ = jax.scipy.sparse.linalg.cg(
-                    op, rhs, tol=cfg.tol, maxiter=cfg.max_iters, M=M
-                )
-            else:
-                # jax gmres 'maxiter' counts OUTER restart cycles; cfg
-                # speaks in TOTAL inner iterations
-                restart = min(cfg.restart, n)
-                n_outer = max(1, -(-cfg.max_iters // restart))
-                y, _ = jax.scipy.sparse.linalg.gmres(
-                    op,
-                    rhs,
-                    tol=cfg.tol,
-                    maxiter=n_outer,
-                    restart=restart,
-                    M=M,
-                    solve_method="batched",
-                )
-            return y
-
-        x = krylov(b)
         norm_b = jnp.sqrt(jnp.vdot(b, b).real)
         safe_nb = jnp.where(norm_b > 0, norm_b, 1.0)
-        for _ in range(max(cfg.refine_iters, 1)):
-            r = b - op(x)
-            x = jnp.where(
-                jnp.sqrt(jnp.vdot(r, r).real) > cfg.tol * norm_b,
-                x + krylov(r),
-                x,
+        if method == "cg":
+            x, _ = jax.scipy.sparse.linalg.cg(
+                op, b, tol=cfg.tol, maxiter=cfg.max_iters, M=M
             )
+            for _ in range(max(cfg.refine_iters, 1)):
+                r = b - op(x)
+                dx, _ = jax.scipy.sparse.linalg.cg(
+                    op, r, tol=cfg.tol, maxiter=cfg.max_iters, M=M
+                )
+                x = jnp.where(
+                    jnp.sqrt(jnp.vdot(r, r).real) > cfg.tol * norm_b,
+                    x + dx,
+                    x,
+                )
+            r = b - op(x)
+            return x, jnp.sqrt(jnp.vdot(r, r).real) / safe_nb
+
+        # GMRES with MANUAL guarded restarts from the true residual
+        # (see solve/linear.py) — cfg.max_iters counts TOTAL inner
+        # iterations; converged cycles exit immediately
+        restart = min(cfg.restart, n)
+        n_outer = (
+            max(1, -(-cfg.max_iters // restart)) + max(cfg.refine_iters, 1)
+        )
+        atol = cfg.tol * norm_b
+
+        def body(_, x):
+            r = b - op(x)
+            dx, _ = jax.scipy.sparse.linalg.gmres(
+                op,
+                r,
+                tol=0.0,
+                atol=atol,
+                maxiter=1,
+                restart=restart,
+                M=M,
+                solve_method="batched",
+            )
+            cand = x + dx
+            ok = jnp.isfinite(jnp.vdot(cand, cand).real)
+            return jnp.where(
+                (jnp.sqrt(jnp.vdot(r, r).real) > atol) & ok, cand, x
+            )
+
+        x = jax.lax.fori_loop(0, n_outer, body, jnp.zeros_like(b))
         r = b - op(x)
         return x, jnp.sqrt(jnp.vdot(r, r).real) / safe_nb
 

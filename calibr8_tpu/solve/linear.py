@@ -137,35 +137,48 @@ def solve_info(
         def M(v):
             return v / safe_diag
 
-    def krylov(rhs):
-        if method == "cg":
-            y, _ = jax.scipy.sparse.linalg.cg(
-                op, rhs, tol=cfg.tol, maxiter=cfg.max_iters, M=M
-            )
-        else:
-            # jax gmres 'maxiter' counts OUTER restart cycles; cfg
-            # speaks in TOTAL inner iterations (the Belos convention)
-            restart = min(cfg.restart, n_dofs)
-            n_outer = max(1, -(-cfg.max_iters // restart))
-            y, _ = jax.scipy.sparse.linalg.gmres(
-                op,
-                rhs,
-                tol=cfg.tol,
-                maxiter=n_outer,
-                restart=restart,
-                M=M,
-                solve_method="batched",
-            )
-        return y
-
-    x = krylov(b)
-    for _ in range(cfg.refine_iters):
-        r = b - op(x)
-        cand = x + krylov(r)
-        # guard: a broken refinement pass (f32 restarted-GMRES breakdown
-        # producing NaN) must not destroy a good solution
-        ok = jnp.isfinite(jnp.sum(cand))
-        x = jnp.where(
-            (jnp.linalg.norm(r) > cfg.tol * norm_b) & ok, cand, x
+    if method == "cg":
+        x, _ = jax.scipy.sparse.linalg.cg(
+            op, b, tol=cfg.tol, maxiter=cfg.max_iters, M=M
         )
+        for _ in range(cfg.refine_iters):
+            r = b - op(x)
+            cand, _ = jax.scipy.sparse.linalg.cg(
+                op, r, tol=cfg.tol, maxiter=cfg.max_iters, M=M
+            )
+            cand = x + cand
+            ok = jnp.isfinite(jnp.sum(cand))
+            x = jnp.where(
+                (jnp.linalg.norm(r) > cfg.tol * norm_b) & ok, cand, x
+            )
+        return x, jnp.linalg.norm(b - op(x)) / safe_nb
+
+    # GMRES with MANUAL restarts: each cycle re-orthogonalizes from the
+    # TRUE residual with an absolute target, and a non-finite cycle
+    # (f32 batched-GMRES breakdown under internal restarts) is dropped
+    # instead of poisoning the solution.  cfg.max_iters counts TOTAL
+    # inner iterations (the Belos convention); converged cycles exit
+    # their inner loop immediately (|r| < atol), so trailing fori
+    # iterations are nearly free.
+    restart = min(cfg.restart, n_dofs)
+    n_outer = max(1, -(-cfg.max_iters // restart)) + cfg.refine_iters
+    atol = cfg.tol * norm_b
+
+    def body(_, x):
+        r = b - op(x)
+        dx, _ = jax.scipy.sparse.linalg.gmres(
+            op,
+            r,
+            tol=0.0,
+            atol=atol,
+            maxiter=1,
+            restart=restart,
+            M=M,
+            solve_method="batched",
+        )
+        cand = x + dx
+        ok = jnp.isfinite(jnp.sum(cand))
+        return jnp.where((jnp.linalg.norm(r) > atol) & ok, cand, x)
+
+    x = jax.lax.fori_loop(0, n_outer, body, jnp.zeros_like(b))
     return x, jnp.linalg.norm(b - op(x)) / safe_nb
