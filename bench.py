@@ -248,9 +248,12 @@ def run_mode(mode, dtype_str, n):
         # iterations; solve_relres in the output verifies the solve
         # actually reached tol — one-level block-GS needs ~400 at 196k
         # elements, the MG variant a small fraction of that)
+        # f32 attainable accuracy at this conditioning is ~1e-2 relative
+        # (eps32 * kappa); Newton is inexact anyway.  solve_relres in
+        # the output reports what was actually reached.
         lin_cfg = linear_mod.LinearCfg(
             method="gmres",
-            tol=1e-4 if dtype_str == "f32" else 1e-6,
+            tol=5e-3 if dtype_str == "f32" else 1e-6,
             max_iters=800,
             restart=100,
             refine_iters=1,

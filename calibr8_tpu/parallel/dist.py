@@ -507,8 +507,14 @@ class DistContext:
         )
         atol = cfg.tol * norm_b
 
-        def body(_, x):
+        def cond_fn(c):
+            _, it, done = c
+            return (it < n_outer) & jnp.logical_not(done)
+
+        def body(c):
+            x, it, _ = c
             r = b - op(x)
+            rn = jnp.sqrt(jnp.vdot(r, r).real)
             dx, _ = jax.scipy.sparse.linalg.gmres(
                 op,
                 r,
@@ -520,12 +526,21 @@ class DistContext:
                 solve_method="batched",
             )
             cand = x + dx
-            ok = jnp.isfinite(jnp.vdot(cand, cand).real)
-            return jnp.where(
-                (jnp.sqrt(jnp.vdot(r, r).real) > atol) & ok, cand, x
+            rn_new = jnp.sqrt(
+                jnp.vdot(b - op(cand), b - op(cand)).real
             )
+            better = jnp.isfinite(rn_new) & (rn_new < rn)
+            x_next = jnp.where(better, cand, x)
+            done = (
+                (jnp.minimum(rn_new, rn) <= atol)
+                | jnp.logical_not(better)
+                | (rn_new > 0.95 * rn)
+            )
+            return (x_next, it + 1, done)
 
-        x = jax.lax.fori_loop(0, n_outer, body, jnp.zeros_like(b))
+        x, _, _ = jax.lax.while_loop(
+            cond_fn, body, (jnp.zeros_like(b), 0, False)
+        )
         r = b - op(x)
         return x, jnp.sqrt(jnp.vdot(r, r).real) / safe_nb
 

@@ -164,8 +164,14 @@ def solve_info(
     n_outer = max(1, -(-cfg.max_iters // restart)) + cfg.refine_iters
     atol = cfg.tol * norm_b
 
-    def body(_, x):
+    def cond_fn(c):
+        _, it, done = c
+        return (it < n_outer) & jnp.logical_not(done)
+
+    def body(c):
+        x, it, _ = c
         r = b - op(x)
+        rn = jnp.linalg.norm(r)
         dx, _ = jax.scipy.sparse.linalg.gmres(
             op,
             r,
@@ -177,8 +183,19 @@ def solve_info(
             solve_method="batched",
         )
         cand = x + dx
-        ok = jnp.isfinite(jnp.sum(cand))
-        return jnp.where((jnp.linalg.norm(r) > atol) & ok, cand, x)
+        rn_new = jnp.linalg.norm(b - op(cand))
+        better = jnp.isfinite(rn_new) & (rn_new < rn)
+        x_next = jnp.where(better, cand, x)
+        # stop on convergence, breakdown, or stagnation (< 5% progress
+        # per full cycle — the f32 attainable-accuracy floor)
+        done = (
+            (jnp.minimum(rn_new, rn) <= atol)
+            | jnp.logical_not(better)
+            | (rn_new > 0.95 * rn)
+        )
+        return (x_next, it + 1, done)
 
-    x = jax.lax.fori_loop(0, n_outer, body, jnp.zeros_like(b))
+    x, _, _ = jax.lax.while_loop(
+        cond_fn, body, (jnp.zeros_like(b), 0, False)
+    )
     return x, jnp.linalg.norm(b - op(x)) / safe_nb
