@@ -126,24 +126,35 @@ class MGPrecondFactory:
         d = self.d
         spec = disc.spec
         n_u = disc.n_dofs_u
-        if J_e.shape[0] == J_e.shape[1]:  # trailing layout
-            Jef = jnp.moveaxis(J_e, -1, 0)[: disc.n_elem]
+        trailing = J_e.shape[0] == J_e.shape[1]
+        if trailing:
+            # u-block in trailing layout (nde_u, nde_u, n_e): the
+            # elem-first (n_e, 12, 12) form pads ~14x on TPU tiles
+            # (1.5 GB per temp at 196k elements -> HBM OOM)
+            J_uuT = jnp.take(
+                jnp.take(J_e, jnp.asarray(self.uslots), axis=0),
+                jnp.asarray(self.uslots),
+                axis=1,
+            )[:, :, : disc.n_elem]
+            Jef = None
         else:
             Jef = J_e
+            J_uuT = None
 
         # node-diagonal blocks with Dirichlet row replacement (the same
         # treatment as BlockJacobiGS, solve/precond.py)
         blocks = node_block_diagonal(disc, J_e)  # (n_nodes, ndpn, ndpn)
         D = disc.nodemat(diag)
         bc_mask = jnp.zeros(disc.n_dofs, bool).at[bc_dofs].set(True)
-        bc_nm = disc.nodemat(bc_mask.astype(Jef.dtype))
-        eye = jnp.eye(disc.ndpn, dtype=Jef.dtype)
+        dtype = J_e.dtype
+        bc_nm = disc.nodemat(bc_mask.astype(dtype))
+        eye = jnp.eye(disc.ndpn, dtype=dtype)
         rowsel = bc_nm[:, :, None]
         blocks = blocks * (1.0 - rowsel) + rowsel * eye[None] * D[:, :, None]
 
         Bu = blocks[:, :d, :d]
         Bu_inv = gauss_solve(
-            Bu, jnp.broadcast_to(jnp.eye(d, dtype=Jef.dtype), Bu.shape),
+            Bu, jnp.broadcast_to(jnp.eye(d, dtype=dtype), Bu.shape),
             pivot=True,
         )  # (n_nodes, d, d)
         Apu = blocks[:, d, :d] if spec.mixed else None
@@ -151,11 +162,11 @@ class MGPrecondFactory:
         if spec.mixed:
             app = jnp.where(jnp.abs(app) > 1e-300, app, 1.0)
 
-        # u-block element Jacobians and matvec
-        J_uu = Jef[:, self.uslots, :][:, :, self.uslots]  # (n_e, npe*d, npe*d)
         conn = disc.conn
         diag_u = diag[:n_u]
         bc_u = bc_mask[:n_u]
+        if not trailing:
+            J_uu = Jef[:, self.uslots, :][:, :, self.uslots]
 
         if op is not None:
             # restrict the FULL operator (the fast assembled-ELL apply
@@ -167,6 +178,28 @@ class MGPrecondFactory:
                 z = jnp.concatenate([v, jnp.zeros(n_p, v.dtype)])
                 return op(z)[:n_u]
 
+        elif trailing:
+
+            def op_u(v):
+                from calibr8_tpu.fem.assembly import ebe_matvec_T
+
+                # a u-only matvec via a zero-padded full vector would
+                # need the full disc; do the trailing loop directly
+                V = v.reshape(disc.n_nodes, d)
+                v_eT = V[conn].reshape(disc.n_elem, -1).T
+                nde_u = len(self.uslots)
+                rows = []
+                for i in range(nde_u):
+                    acc = J_uuT[i, 0] * v_eT[0]
+                    for j in range(1, nde_u):
+                        acc = acc + J_uuT[i, j] * v_eT[j]
+                    rows.append(acc)
+                Y = disc.scatter_rows(
+                    jnp.stack(rows, 0).T.reshape(-1, d)
+                )
+                out = Y.reshape(-1)
+                return jnp.where(bc_u, diag_u * v, out)
+
         else:
 
             def op_u(v):
@@ -177,20 +210,33 @@ class MGPrecondFactory:
                 out = Y.reshape(-1)
                 return jnp.where(bc_u, diag_u * v, out)
 
-        # coarse Galerkin operator of the (Dirichlet-masked) u block
-        mask_u = jnp.where(bc_u, 0.0, 1.0).astype(Jef.dtype)
-        m_e = mask_u.reshape(disc.n_nodes, d)[conn].reshape(
-            disc.n_elem, -1
-        )  # (n_e, npe*d)
-        W = self.wgt * m_e[:, :, None]  # (n_e, npe*d, K)
+        # coarse Galerkin operator of the (Dirichlet-masked) u block,
+        # assembled in TRAILING layout: every (a, b) intermediate is
+        # (nde_u, nde_u, n_e) / 1-D — lane-aligned, no tile-padding
+        # blowup (the elem-first form OOM'd HBM at 196k elements)
+        mask_u = jnp.where(bc_u, 0.0, 1.0).astype(dtype)
+        m_eT = (
+            mask_u.reshape(disc.n_nodes, d)[conn]
+            .reshape(disc.n_elem, -1)
+            .T
+        )  # (nde_u, n_e)
+        wgtT = jnp.moveaxis(self.wgt, 0, -1)  # (nde_u, K, n_e)
+        W_T = wgtT * m_eT[:, None, :]  # (nde_u, K, n_e)
+        cdT = jnp.moveaxis(self.cd, 0, -1).astype(jnp.int32)  # (nde_u, K, n_e)
         n_cu = self.n_cu
-        A_c = jnp.zeros(n_cu * n_cu, Jef.dtype)
+        nde_u = len(self.uslots)
+        if trailing:
+            JT = J_uuT
+        else:
+            JT = jnp.moveaxis(J_uu, 0, -1)
+        A_c = jnp.zeros(n_cu * n_cu, dtype)
         for a in range(self.K):
             for b in range(self.K):
-                contrib = W[:, :, None, a] * J_uu * W[:, None, :, b]
+                contrib = (
+                    W_T[:, None, a, :] * JT * W_T[None, :, b, :]
+                )  # (nde_u, nde_u, n_e)
                 flat = (
-                    self.cd[:, :, a][:, :, None] * n_cu
-                    + self.cd[:, None, :, b]
+                    cdT[:, None, a, :] * n_cu + cdT[None, :, b, :]
                 )
                 A_c = A_c + jax.ops.segment_sum(
                     contrib.reshape(-1),
