@@ -41,6 +41,34 @@ from calibr8_tpu.solve.precond import node_block_diagonal
 from calibr8_tpu.utils.smallsolve import gauss_solve
 
 
+def _coarse_dense_solver(A, ns_iters: int = 35):
+    """Direct solver for the dense coarse system, picked per backend:
+
+    * CPU: LAPACK LU (fast there);
+    * TPU: explicit inverse by NEWTON-SCHULZ iteration
+      X <- X (2I - A X), X0 = A^T / (||A||_1 ||A||_inf) — pure MXU
+      matmuls (LU's sequential triangular factor/solves measured ~6 s
+      per Newton step on v5e), quadratically convergent, and the apply
+      is one matvec, trivially a fixed linear operator.
+
+    A weak iterative coarse solve (Chebyshev) loses the V-cycle's
+    h-independence (measured 41 -> 101 iterations under one refinement)
+    — the coarse LOW modes are exactly what multigrid exists to kill,
+    so the coarse solve must be accurate."""
+    if jax.default_backend() != "tpu":
+        lu = jax.scipy.linalg.lu_factor(A)
+        return lambda b: jax.scipy.linalg.lu_solve(lu, b)
+
+    n = A.shape[0]
+    a1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    ainf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    X = A.T / (a1 * ainf)
+    I2 = 2.0 * jnp.eye(n, dtype=A.dtype)
+    for _ in range(ns_iters):
+        X = X @ (I2 - A @ X)
+    return lambda b: X @ b
+
+
 def composite_parents(refine_chain):
     """Compose the per-level (node -> 2 parent nodes, weight 1/2) maps
     of a uniform-refinement chain into base-level interpolation rows.
@@ -63,12 +91,14 @@ class MGPrecondFactory:
     preconditioner for one assembled element-Jacobian state (once per
     Newton iteration)."""
 
-    def __init__(self, disc, refine_chain, omega: float = 0.7):
+    def __init__(self, disc, refine_chain, omega: float = 0.7,
+                 cheb_iters: int = 40):
         self.disc = disc
         spec = disc.spec
         d = spec.dim
         self.d = d
         self.omega = omega
+        self.cheb_iters = cheb_iters
         idx, w = composite_parents(refine_chain)
         assert idx.shape[0] == disc.n_nodes, (
             f"hierarchy fine nodes {idx.shape[0]} != disc nodes {disc.n_nodes}"
@@ -247,7 +277,7 @@ class MGPrecondFactory:
         dg = jnp.diagonal(A_c)
         # regularize empty rows (coarse dofs fully under Dirichlet masks)
         A_c = A_c + jnp.diag(jnp.where(jnp.abs(dg) < 1e-12, 1.0, 0.0))
-        lu = jax.scipy.linalg.lu_factor(A_c)
+        coarse_solve = _coarse_dense_solver(A_c)
 
         omega = self.omega
 
@@ -260,7 +290,7 @@ class MGPrecondFactory:
         def vcycle(r):
             z = smooth(r)
             r2 = r - op_u(z)
-            ec = jax.scipy.linalg.lu_solve(lu, self.restrict_u(r2, mask_u))
+            ec = coarse_solve(self.restrict_u(r2, mask_u))
             z = z + self.prolong_u(ec, mask_u)
             r3 = r - op_u(z)
             return z + smooth(r3)
