@@ -47,12 +47,14 @@ def build_mesh(spec: ProblemSpec, mesh=None):
         if n_ref:
             from calibr8_tpu.mesh.refine import uniform_refine
 
+            base = m
             chain = []
             for _ in range(n_ref):
                 r = uniform_refine(m)
                 chain.append(r)
                 m = r.fine
             m.refine_chain = chain
+            m.refine_base = base
         return m
     mesh_file = d.get("mesh file")
     if mesh_file and str(mesh_file).endswith(".msh"):
@@ -79,6 +81,7 @@ class Problem:
         self.mesh = build_mesh(spec, mesh)
         dim = self.mesh.dim
         refine_chain = getattr(self.mesh, "refine_chain", None)
+        refine_base = getattr(self.mesh, "refine_base", None)
 
         self.model = create_local_model(spec.model_name, dim, config=lr)
         self.model.abs_tol = float(lr.get("nonlinear absolute tol", 1e-12))
@@ -149,7 +152,9 @@ class Problem:
         if la.get("preconditioner") == "multigrid" and refine_chain:
             from calibr8_tpu.solve.mg import MGPrecondFactory
 
-            self.mg_factory = MGPrecondFactory(self.disc, refine_chain)
+            self.mg_factory = MGPrecondFactory(
+                self.disc, refine_chain, base_mesh=refine_base
+            )
             self.step_solver.mg_factory = self.mg_factory
 
         self.dbcs = DirichletBCs(
