@@ -87,6 +87,9 @@ class DistContext:
         self.es = put(np.where(emask, np.asarray(disc.es_ids)[esel], 0))
         self.send = put(part.send_slots)
         self.recv = put(part.recv_slots)
+        # per-part local ELLPACK maps (scatter-free Krylov matvec)
+        self.nbr_local = put(part.nbr_local)
+        self.ell_idx_local = put(part.ell_idx_local)
 
         # owned-node selection (padding -> node 0, masked to zero)
         omask = part.own_nodes >= 0
@@ -312,6 +315,47 @@ class DistContext:
             blocks = scatter_add(y_loc, send, recv)
             return blocks.reshape(1, N_own, ndpn, ndpn)
 
+        K_ell = part.K_ell
+
+        @partial(sm, in_specs=(pp, pp), out_specs=pp)
+        def ell_assemble_sm(J_T, ell_idx):
+            """Per-part node-block ELL assembly over the LOCAL node
+            space (rows = local slots; one segment_sum per part)."""
+            J_T, ell_idx = J_T[0], ell_idx[0]
+            rows = []
+            for a in range(npe):
+                for b in range(npe):
+                    blk = [
+                        J_T[a * ndpn + i, b * ndpn + j]
+                        for i in range(ndpn)
+                        for j in range(ndpn)
+                    ]
+                    rows.append(jnp.stack(blk, 0))  # (ndpn^2, E)
+            V = jnp.stack(rows, 0)  # (npe^2, ndpn^2, E)
+            vals = jnp.moveaxis(V, -1, 0).reshape(E * npe * npe, -1)
+            ids = ell_idx.reshape(-1)  # (E*npe^2,), (e, a, b) order
+            A = jax.ops.segment_sum(
+                vals, ids, num_segments=N_loc * K_ell + 1
+            )
+            return A[None]
+
+        @partial(sm, in_specs=(pp, pp, pp, pp, pp), out_specs=pp)
+        def ell_matvec_sm(A, v_own, nbr, send, recv):
+            """Scatter-free local ELL apply: one halo gather in, one
+            Export-ADD out; the per-row contraction replaces the
+            per-element matvec + local scatter."""
+            A, nbr = A[0], nbr[0]
+            send, recv = send[0], recv[0]
+            x_loc = gather(v_own[0], send, recv)  # (N_loc, ndpn)
+            xp = jnp.concatenate(
+                [x_loc, jnp.zeros((1, ndpn), x_loc.dtype)], axis=0
+            )
+            G = xp[nbr]  # (N_loc, K, ndpn)
+            Ab = A[: N_loc * K_ell].reshape(N_loc, K_ell, ndpn, ndpn)
+            y_loc = jnp.einsum("nsij,nsj->ni", Ab, G)
+            y_own = scatter_add(y_loc, send, recv)
+            return y_own[None]
+
         adjoint_blocks = assembler.make_adjoint_blocks_kernel()
 
         @partial(
@@ -359,6 +403,8 @@ class DistContext:
 
         self._assemble_sm = assemble_sm
         self._matvec_sm = matvec_sm
+        self._ell_assemble_sm = ell_assemble_sm
+        self._ell_matvec_sm = ell_matvec_sm
         self._node_blocks_sm = node_blocks_sm
         self._blocks_sm = blocks_sm
         self._gather_elem_sm = gather_elem_sm
@@ -384,6 +430,16 @@ class DistContext:
 
     def matvec(self, J_T, Vd):
         return self._matvec_sm(J_T, Vd, self.conn, self.send, self.recv)
+
+    def ell_assemble(self, J_T):
+        """Per-part local node-block ELL of the (possibly pre-swapped)
+        element Jacobians, built once per Krylov solve."""
+        return self._ell_assemble_sm(J_T, self.ell_idx_local)
+
+    def ell_matvec(self, A_ell, Vd):
+        return self._ell_matvec_sm(
+            A_ell, Vd, self.nbr_local, self.send, self.recv
+        )
 
     def node_blocks(self, J_T):
         return self._node_blocks_sm(J_T, self.conn, self.send, self.recv)
@@ -469,9 +525,21 @@ class DistContext:
         return fn(J_T, diag, b, bc_mask)
 
     def _solve_linear_impl(self, cfg, transpose, J_T, diag, b, bc_mask):
-        def op(v):
-            out = self.matvec(J_T, v)
-            return jnp.where(bc_mask, diag * v, out)
+        if cfg.operator != "ebe":
+            # assembled per-part ELL apply: built once per solve (jit
+            # hoists it out of the Krylov loop), scatter-free per
+            # iteration (solve/ellpack.py rationale, sharded form)
+            A_ell = self.ell_assemble(J_T)
+
+            def op(v):
+                out = self.ell_matvec(A_ell, v)
+                return jnp.where(bc_mask, diag * v, out)
+
+        else:
+
+            def op(v):
+                out = self.matvec(J_T, v)
+                return jnp.where(bc_mask, diag * v, out)
 
         M = self.make_precond(J_T, diag, bc_mask, transpose=transpose)
         method = cfg.method

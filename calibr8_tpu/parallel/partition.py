@@ -174,7 +174,7 @@ def build_partition(
             send_slots[j, k, : len(nodes)] = own_slot_of[nodes]
             recv_slots[k, j, : len(nodes)] = glob2loc[nodes]
 
-    return Partition(
+    part = Partition(
         n_parts=n_parts,
         n_nodes=n_nodes,
         npe=npe,
@@ -192,3 +192,41 @@ def build_partition(
         send_slots=send_slots,
         recv_slots=recv_slots,
     )
+    part.nbr_local, part.ell_idx_local, part.K_ell = build_local_ell(part)
+    return part
+
+
+def build_local_ell(part: Partition):
+    """Per-part node-block ELLPACK maps over the LOCAL node space
+    (the sharded analog of solve/ellpack.build_ell_maps): rows AND
+    columns are local slots; ghost-row partial sums are reduced onto
+    owners by the usual Export-ADD halo exchange after the apply.
+
+    Returns (nbr (n_parts, N_loc, K), ell_idx (n_parts, E_loc, npe, npe),
+    K); nbr pads with N_loc (a zero row device-side), ell_idx routes
+    padding-element entries to a dummy trailing ELL slot."""
+    P, E, npe = part.n_parts, part.E_loc, part.npe
+    N_loc = part.N_loc
+    per_part = []
+    K = 1
+    for k in range(P):
+        mask = part.elems[k] >= 0
+        conn = part.conn_local[k][mask]  # (n_real, npe)
+        i = np.repeat(conn, npe, axis=1).reshape(-1).astype(np.int64)
+        j = np.tile(conn, (1, npe)).reshape(-1).astype(np.int64)
+        key = i * N_loc + j
+        uniq, inv = np.unique(key, return_inverse=True)
+        u_i = uniq // N_loc
+        row_start = np.searchsorted(u_i, np.arange(N_loc))
+        slot = np.arange(len(uniq)) - row_start[u_i]
+        K = max(K, int(slot.max()) + 1 if len(slot) else 1)
+        per_part.append((mask, conn.shape[0], uniq, inv, u_i, slot))
+
+    nbr = np.full((P, N_loc, K), N_loc, dtype=np.int32)
+    # dummy slot index = N_loc * K (an extra trailing row device-side)
+    ell_idx = np.full((P, E, npe, npe), N_loc * K, dtype=np.int32)
+    for k, (mask, n_real, uniq, inv, u_i, slot) in enumerate(per_part):
+        nbr[k][u_i, slot] = (uniq % N_loc).astype(np.int32)
+        flat = (u_i * K + slot)[inv].astype(np.int32)
+        ell_idx[k][mask] = flat.reshape(n_real, npe, npe)
+    return nbr, ell_idx, K
