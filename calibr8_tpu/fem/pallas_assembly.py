@@ -42,6 +42,16 @@ def supports_pallas(assembler) -> bool:
     if bm is None:
         return False
     spec = assembler.spec
+    if (
+        not getattr(bm, "analytic_solve", False)
+        and assembler.disc.dtype == jnp.float64
+        and jax.default_backend() == "tpu"
+    ):
+        # implicit twins run a lax.while_loop local Newton; Mosaic's
+        # while lowering cannot carry f64 vectors (the backend compiler
+        # crashes), so f64 problems use the generic XLA path.  CPU
+        # interpret-mode tests are unaffected.
+        return False
     if getattr(bm, "plane_stress", False):
         # displacement-only plane-stress kernel path (finite-deformation
         # plane stress — z-stretch pullback — stays on the XLA path)

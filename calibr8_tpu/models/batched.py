@@ -553,7 +553,7 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
 
         R, lin = jax.linearize(C, xi)
         rnorm = jnp.sqrt(usum(R * R, 0))
-        done = jnp.maximum(done, (rnorm < bm.abs_tol).astype(dtype))
+        done = jnp.maximum(done, (rnorm < bm.abs_tol).astype(jnp.int32))
         cols = [lin((rows == k).astype(dtype)) for k in range(nxi)]
         J = jnp.stack(
             [jnp.stack([cols[k][i] for k in range(nxi)], 0) for i in range(nxi)],
@@ -564,16 +564,21 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
         ok = fin[0]
         for kk in range(1, nxi):
             ok = ok * fin[kk]
-        return (xi + ((1.0 - done) * ok) * dxi, done, it + 1)
+        gate = (1 - done).astype(dtype) * ok
+        return (xi + gate * dxi, done, it + 1)
 
     def cond(state):
         _, done, it = state
         # SCALAR while condition: Mosaic lowers these (vector-valued
-        # conditions it does not); early exit once every lane converged
-        return jnp.logical_and(it < bm.newton_iters, jnp.any(done == 0.0))
+        # conditions it does not); early exit once every lane converged.
+        # `done` is i32 and the reduction is jnp.min — dtype-PRESERVING.
+        # Under jax_enable_x64 both jnp.any(x == 0.0) and
+        # jnp.sum(..., dtype=int32) sneak an i64/f64 convert into the
+        # cond jaxpr, which Mosaic refuses to lower (64-bit scalars).
+        return jnp.logical_and(it < bm.newton_iters, jnp.min(done) < 1)
 
     xi, done, _ = jax.lax.while_loop(
-        cond, body, (xi0, jnp.zeros(E, dtype), jnp.asarray(0, jnp.int32))
+        cond, body, (xi0, jnp.zeros(E, jnp.int32), jnp.asarray(0, jnp.int32))
     )
     path = bm.pathfn(xi, xipT, kinT, parT)
     Rf = resid(xi, path)
@@ -835,12 +840,114 @@ class BatchedSmallHillPlaneStress:
         return jnp.zeros_like(parT[0])
 
 
+class BatchedSmallHillPlaneStrain:
+    """Trailing-layout twin of SmallHillPlaneStrain
+    (models/small_strain.py, reference small_hill_plane_strain.cpp):
+    2D MIXED plane strain — the in-plane deviator is embedded in 3D with
+    s_zz = 2 mu (-tr(eps)/3 + tr(pstrain)), Hill yield with 4 ratios
+    (R02 = R12 = 1), Voce hardening.  Implicit kernel mode; exercises
+    the fused kernel's 2D mixed u/p path.
+
+    xi (4, E): [pstrain voigt (3), alpha];
+    params (9, E): [E, nu, Y, S, D, R00, R11, R22, R01].
+    """
+
+    name = "small_hill_plane_strain"
+    finite_deformation = False
+    analytic_solve = False
+    newton_iters = 16
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 2
+        self.nc = 3
+        self.nxi = 4
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _voce(self, alpha, parT):
+        Y, S, D = parT[2], parT[3], parT[4]
+        return Y + S * (1.0 - jnp.exp(-D * alpha))
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        ps = t_voigt_to_sym(xiT[: self.nc], 2)
+        return 2.0 * mu * (t_dev3(t_sym(kinT.grad_u)) - ps)
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu = parT[0], parT[1]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        return kappa * t_trace(t_sym(kinT.grad_u))
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+    def _s3(self, xiT, kinT, parT):
+        """3D embedding with the plane-strain out-of-plane deviator
+        s_zz = 2 mu (-tr(eps)/3 + tr(pstrain))
+        (small_hill_plane_strain.cpp)."""
+        mu = self._mu(parT)
+        ps = t_voigt_to_sym(xiT[: self.nc], 2)
+        s2 = self.dev_cauchy(xiT, kinT, parT)
+        s_zz = 2.0 * mu * (
+            -t_trace(t_sym(kinT.grad_u)) / 3.0 + t_trace(ps)
+        )
+        z = jnp.zeros_like(s_zz)
+        r0 = jnp.stack([s2[0, 0], s2[0, 1], z], 0)
+        r1 = jnp.stack([s2[1, 0], s2[1, 1], z], 0)
+        r2 = jnp.stack([z, z, s_zz], 0)
+        return jnp.stack([r0, r1, r2], 0)
+
+    def _f_and_n2(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        alpha = xiT[self.nc]
+        s3 = self._s3(xiT, kinT, parT)
+        hp = t_hill_params_2d(parT, 5)
+        hval = t_hill_value(s3, hp)
+        f = (hval - self._voce(alpha, parT)) / mu
+        n3 = t_hill_normal(s3, hp, hval)
+        n0 = jnp.stack([n3[0, 0], n3[0, 1]], 0)
+        n1 = jnp.stack([n3[1, 0], n3[1, 1]], 0)
+        return f, jnp.stack([n0, n1], 0)
+
+    def first_guess(self, xipT, kinT, parT):
+        return xipT
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        f, _ = self._f_and_n2(xiT, kinT, parT)
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        ps = t_voigt_to_sym(xiT[: self.nc], 2)
+        alpha = xiT[self.nc]
+        ps_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        alpha_old = xipT[self.nc]
+        f, n = self._f_and_n2(xiT, kinT, parT)
+        dgam = alpha - alpha_old
+        w = (path == 1).astype(xiT.dtype)
+        R_p = ps - ps_old - (w * dgam) * n
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_p, 2), R_a[None, :]], axis=0
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+
 BATCHED_MODELS = {
     "small_J2": BatchedSmallJ2,
     "hyper_J2": BatchedHyperJ2,
     "small_hill": BatchedSmallHill,
     "hypo_hill": BatchedHypoHill,
     "small_hill_plane_stress": BatchedSmallHillPlaneStress,
+    "small_hill_plane_strain": BatchedSmallHillPlaneStrain,
 }
 
 

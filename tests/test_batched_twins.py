@@ -62,6 +62,14 @@ CASES = [
         BCS_2D(0.01),
         "mechanics_plane_stress",
     ),
+    (
+        "small_hill_plane_strain",
+        {"type": "notch2D", "h": 0.3},
+        "small_hill_plane_strain",
+        HILL2D,
+        BCS_2D(0.01),
+        "mechanics",
+    ),
 ]
 
 
@@ -86,9 +94,9 @@ def _state(prob, scale):
     return x, disc.zero_x(), xi_prev
 
 
-FAST = {"small_J2", "small_hill_plane_stress"}  # both kernel modes +
-# the plane-stress path; the implicit 3D twins take minutes in
-# interpret mode and run in the slow suite
+FAST = {"small_J2", "small_hill_plane_stress", "small_hill_plane_strain"}
+# both kernel modes + the plane-stress and 2D-mixed paths; the implicit
+# 3D twins take minutes in interpret mode and run in the slow suite
 
 
 @pytest.mark.parametrize(
