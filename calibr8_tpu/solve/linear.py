@@ -107,7 +107,26 @@ def solve_info(
         )
         A = dense_matrix(eb, edofs, n_dofs)
         A = apply_dbcs_dense(A, diag, bc_dofs)
-        x = jnp.linalg.solve(A, b)
+        if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
+            # TPU LuDecomposition is f32-only and the axon runtime has
+            # no host callbacks, so the f64 direct solve is f32 LU +
+            # mixed-precision iterative refinement on the f64 residual
+            # (error contracts ~kappa*eps32 per sweep; the true-residual
+            # relres below still reports any non-convergence)
+            from jax.scipy.linalg import lu_factor, lu_solve
+
+            lu = lu_factor(A.astype(jnp.float32))
+            x = lu_solve(lu, b.astype(jnp.float32)).astype(A.dtype)
+
+            def _refine(_, xk):
+                r = b - A @ xk
+                return xk + lu_solve(lu, r.astype(jnp.float32)).astype(
+                    A.dtype
+                )
+
+            x = jax.lax.fori_loop(0, 8, _refine, x)
+        else:
+            x = jnp.linalg.solve(A, b)
         return x, jnp.linalg.norm(b - A @ x) / safe_nb
 
     if cfg.operator != "ebe" and jax.default_backend() == "tpu":
