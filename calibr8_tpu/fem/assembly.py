@@ -317,6 +317,28 @@ class Assembler:
 # ----------------------------------------------------------------------
 
 
+def jac_is_trailing(J_e, disc):
+    """True if J_e is in trailing layout (nde, nde, E_pad); False for
+    elem-first (n_elem, nde, nde).  Squareness of the two leading axes
+    alone misclassifies an elem-first array whenever n_elem == nde
+    (e.g. a 12-element 3D mixed mesh), so disambiguate against the
+    discretization.  On the doubly-square corner (n_elem == nde ==
+    E_pad) elem-first wins: trailing arrays are lane-padded (E_pad a
+    multiple of 128) everywhere they are produced."""
+    nde = disc.edofs.shape[1]
+    s = J_e.shape
+    if len(s) != 3:
+        raise ValueError(f"element Jacobian must be rank-3, got {s}")
+    if s[0] == disc.n_elem and s[1] == nde and s[2] == nde:
+        return False
+    if s[0] == nde and s[1] == nde and s[2] >= disc.n_elem:
+        return True
+    raise ValueError(
+        f"unrecognized element-Jacobian layout {s} "
+        f"(n_elem={disc.n_elem}, nde={nde})"
+    )
+
+
 def scatter_residual(R_e, edofs, n_dofs):
     """Element residuals -> global residual (the Export-ADD analog).
 
@@ -333,7 +355,7 @@ def ebe_matvec_disc(J_e, disc, v):
     (nde, nde, E_pad) layout — the trailing form (the Pallas kernel's
     native output) runs the per-element matvec as rank-1 lane-aligned
     FMAs, ~6x faster than the batched-small-matmul lowering."""
-    if J_e.shape[0] == J_e.shape[1]:  # trailing (nde, nde, E_pad)
+    if jac_is_trailing(J_e, disc):
         return ebe_matvec_T(J_e, disc, v)
     from calibr8_tpu.fem import pallas_matvec
 

@@ -98,6 +98,7 @@ class Mesh:
         # with it nodal fields on disk) stays valid for write_smb
         if getattr(self, "smb_template", None) is not None:
             m.smb_template = self.smb_template
+            m.smb_serial_linear = getattr(self, "smb_serial_linear", False)
         return m, ranges
 
     def facet_nodes(self, side_set: str) -> np.ndarray:

@@ -40,6 +40,9 @@ from calibr8_tpu.mesh.mesh import Mesh, local_facets
 _TYPE_DOWN_DEGREE = [0, 2, 3, 4, 0, 0, 0, 4]  # vert, edge, tri, quad, .., tet
 _TYPE_DIM = [0, 1, 2, 2, 3, 3, 3, 3]
 
+# serial P1 ('Linear' shape) mesh trailer: shape name, order -3, matches
+_SERIAL_LINEAR_TRAILER = b"Linear\x00" + struct.pack(">i", -3) + b"\x00" * 8
+
 
 def read_smb(path, assoc_file=None) -> Mesh:
     import os
@@ -106,6 +109,7 @@ def read_smb(path, assoc_file=None) -> Mesh:
     # measured DIC data etc., the analog of apf fields attached by
     # `write synthetic`, synthetic.hpp:15-18), then the shape name.
     fields = {}
+    serial_linear = False
     if off + 36 <= len(data):
         links = ints(8)
         if np.all(links == 0):
@@ -121,6 +125,10 @@ def read_smb(path, assoc_file=None) -> Mesh:
                     if size > 1
                     else vals.copy()
                 )
+            # the remaining bytes must be exactly the serial-Linear
+            # trailer write_smb re-emits; anything else (matched mesh,
+            # higher-order shape) would silently round-trip corrupted
+            serial_linear = data[off:] == _SERIAL_LINEAR_TRAILER
 
     # ---- resolve downward adjacencies to vertices --------------------
     edges = conn.get(1)
@@ -235,6 +243,7 @@ def read_smb(path, assoc_file=None) -> Mesh:
         fields=fields,
     )
     out.smb_template = template
+    out.smb_serial_linear = serial_linear
     return out
 
 
@@ -263,6 +272,12 @@ def write_smb(mesh: Mesh, path) -> None:
             "write_smb needs a mesh loaded from .smb (geometry sections "
             "are copied from the source file); use save_fields for "
             "generated meshes"
+        )
+    if not getattr(mesh, "smb_serial_linear", False):
+        raise ValueError(
+            "write_smb only supports serial 'Linear'-shape part files "
+            "(the source mesh has nonzero remote links, matches, or a "
+            "non-Linear shape trailer; writing would corrupt it)"
         )
     out = bytearray(tpl)
     out += b"\x00" * 32  # links + matches (serial part)

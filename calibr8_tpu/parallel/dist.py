@@ -576,11 +576,11 @@ class DistContext:
         atol = cfg.tol * norm_b
 
         def cond_fn(c):
-            _, it, done = c
+            _, it, _, done = c
             return (it < n_outer) & jnp.logical_not(done)
 
         def body(c):
-            x, it, _ = c
+            x, it, stag, _ = c
             r = b - op(x)
             rn = jnp.sqrt(jnp.vdot(r, r).real)
             dx, _ = jax.scipy.sparse.linalg.gmres(
@@ -599,15 +599,18 @@ class DistContext:
             )
             better = jnp.isfinite(rn_new) & (rn_new < rn)
             x_next = jnp.where(better, cand, x)
+            # stagnation (<5% progress) must persist two consecutive
+            # cycles before exiting — see solve/linear.py
+            stag_next = jnp.where(rn_new > 0.95 * rn, stag + 1, 0)
             done = (
                 (jnp.minimum(rn_new, rn) <= atol)
                 | jnp.logical_not(better)
-                | (rn_new > 0.95 * rn)
+                | (stag_next >= 2)
             )
-            return (x_next, it + 1, done)
+            return (x_next, it + 1, stag_next, done)
 
-        x, _, _ = jax.lax.while_loop(
-            cond_fn, body, (jnp.zeros_like(b), 0, False)
+        x, _, _, _ = jax.lax.while_loop(
+            cond_fn, body, (jnp.zeros_like(b), 0, 0, False)
         )
         r = b - op(x)
         return x, jnp.sqrt(jnp.vdot(r, r).real) / safe_nb
@@ -720,7 +723,7 @@ class DistAdjoint:
         )  # (P, nde, E)
         diag = ctx.scatter_elem(jnp.swapaxes(dgT, 1, 2))
         # transpose FIRST, then Dirichlet rows (adjoint.cpp:133-145)
-        z, _relres = ctx.solve_linear(
+        z, relres = ctx.solve_linear(
             self.linear_cfg,
             B["J_total_T"].swapaxes(1, 2),
             diag,
@@ -755,7 +758,7 @@ class DistAdjoint:
             )
             + dJ_dp
         )
-        return z, jnp.swapaxes(phiT, 1, 2), f_next, g_next, grad
+        return z, jnp.swapaxes(phiT, 1, 2), f_next, g_next, grad, relres
 
     def sweep(self, traj, params_all, time_grid, dbcs=None):
         """traj is the dict from DistPrimal.run.  Returns (grad, zs)."""
@@ -779,7 +782,7 @@ class DistAdjoint:
                 if self.qoi is not None
                 else ()
             )
-            z, phi, f, g, dgrad = self._step(
+            z, phi, f, g, dgrad, relres = self._step(
                 traj["x"][step],
                 traj["x"][step - 1],
                 traj["xi"][step],
@@ -791,6 +794,14 @@ class DistAdjoint:
                 bc_mask,
                 aux,
             )
+            rr = float(relres)
+            if not np.isfinite(rr) or rr > 0.5:
+                from calibr8_tpu.solve.adjoint import AdjointSolveError
+
+                raise AdjointSolveError(
+                    f"dist adjoint linear solve diverged at step {step} "
+                    f"(relative residual {rr:.3e})"
+                )
             grad = grad + dgrad
             zs[step] = (z, phi)
         return grad, zs

@@ -44,6 +44,11 @@ class AdjointStepResult(NamedTuple):
     f: jnp.ndarray  # (n_elem, nde) history for the previous step
     g: jnp.ndarray  # (n_elem, nxi) history for the previous step
     grad: jnp.ndarray  # (n_sets, n_params) parameter-gradient contribution
+    relres: jnp.ndarray  # true residual of the transposed Krylov solve
+
+
+class AdjointSolveError(RuntimeError):
+    """A diverged adjoint Krylov solve (would silently corrupt dJ/dp)."""
 
 
 class Adjoint:
@@ -131,7 +136,7 @@ class Adjoint:
         nde = B["J_total_T"].shape[0]
         dgT = jnp.stack([B["J_total_T"][i, i] for i in range(nde)], axis=0)
         diag = disc.scatter_elem(dgT.T)
-        z = linear_mod.solve(
+        z, relres = linear_mod.solve_info(
             self.linear_cfg,
             B["J_total_T"],
             disc,
@@ -163,8 +168,22 @@ class Adjoint:
         )
 
         return AdjointStepResult(
-            z=z, phi=phiT.T, f=f_nextT.T, g=g_nextT.T, grad=grad
+            z=z, phi=phiT.T, f=f_nextT.T, g=g_nextT.T, grad=grad,
+            relres=relres,
         )
+
+    def _check_linear(self, relres, step):
+        """Belos-status-check analog for the transposed solve
+        (adjoint.cpp:113-180 runs refinement until converged; a solve
+        that still diverged must not feed garbage into dJ/dp)."""
+        import numpy as np
+
+        rr = float(relres)
+        if not np.isfinite(rr) or rr > 0.5:
+            raise AdjointSolveError(
+                f"adjoint linear solve diverged at step {step} "
+                f"(relative residual {rr:.3e})"
+            )
 
     # -- public sweep ---------------------------------------------------
     def sweep(self, traj, params_all, time_grid, bc_dofs=None):
@@ -207,6 +226,7 @@ class Adjoint:
                     aux,
                 )
                 jax.block_until_ready(res.grad)
+            self._check_linear(res.relres, step)
             f, g = res.f, res.g
             grad = grad + res.grad
             zs[step] = (res.z, res.phi)

@@ -70,7 +70,9 @@ def assemble_ell(J_e, disc):
     n_e = disc.n_elem
     npe = disc.spec.npe
     ndpn = disc.ndpn
-    if J_e.shape[0] == J_e.shape[1]:  # trailing
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+
+    if jac_is_trailing(J_e, disc):
         Jef = jnp.moveaxis(J_e, -1, 0)[:n_e]
     else:
         Jef = J_e
@@ -177,9 +179,11 @@ class EllOperator:
             # transpose of the assembled operator: transpose each
             # element block BEFORE assembly (the trailing swap is
             # hoisted/materialized once by jit)
+            from calibr8_tpu.fem.assembly import jac_is_trailing
+
             J_e = (
                 J_e.swapaxes(0, 1)
-                if J_e.shape[0] == J_e.shape[1]
+                if jac_is_trailing(J_e, disc)
                 else J_e.swapaxes(-1, -2)
             )
         A, nbr = assemble_ell(J_e, disc)

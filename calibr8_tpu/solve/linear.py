@@ -92,7 +92,9 @@ def solve_info(
     # the same Dirichlet row elimination to the transposed operator with a
     # zero RHS at constrained rows (eval_adjoint_jacobian + dbcs.cpp with
     # is_adjoint=true): transpose FIRST, then eliminate rows.
-    trailing = J_e.shape[0] == J_e.shape[1]  # (nde, nde, E_pad) layout
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+
+    trailing = jac_is_trailing(J_e, disc)  # (nde, nde, E_pad) layout
     if transpose:
         op_e = J_e.swapaxes(0, 1) if trailing else J_e.swapaxes(-1, -2)
     else:
@@ -184,11 +186,11 @@ def solve_info(
     atol = cfg.tol * norm_b
 
     def cond_fn(c):
-        _, it, done = c
+        _, it, _, done = c
         return (it < n_outer) & jnp.logical_not(done)
 
     def body(c):
-        x, it, _ = c
+        x, it, stag, _ = c
         r = b - op(x)
         rn = jnp.linalg.norm(r)
         dx, _ = jax.scipy.sparse.linalg.gmres(
@@ -205,16 +207,20 @@ def solve_info(
         rn_new = jnp.linalg.norm(b - op(cand))
         better = jnp.isfinite(rn_new) & (rn_new < rn)
         x_next = jnp.where(better, cand, x)
-        # stop on convergence, breakdown, or stagnation (< 5% progress
-        # per full cycle — the f32 attainable-accuracy floor)
+        # stop on convergence, breakdown, or stagnation.  Stagnation
+        # (< 5% progress per full cycle — the f32 attainable-accuracy
+        # floor) must persist for TWO consecutive cycles: a single slow
+        # cycle is common in plateau-then-converge patterns (MG + tight
+        # f64 tolerances) and must not end the solve above tol.
+        stag_next = jnp.where(rn_new > 0.95 * rn, stag + 1, 0)
         done = (
             (jnp.minimum(rn_new, rn) <= atol)
             | jnp.logical_not(better)
-            | (rn_new > 0.95 * rn)
+            | (stag_next >= 2)
         )
-        return (x_next, it + 1, done)
+        return (x_next, it + 1, stag_next, done)
 
-    x, _, _ = jax.lax.while_loop(
-        cond_fn, body, (jnp.zeros_like(b), 0, False)
+    x, _, _, _ = jax.lax.while_loop(
+        cond_fn, body, (jnp.zeros_like(b), 0, 0, False)
     )
     return x, jnp.linalg.norm(b - op(x)) / safe_nb

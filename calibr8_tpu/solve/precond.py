@@ -30,7 +30,9 @@ def node_block_diagonal(disc, J_e):
     npe = disc.spec.npe
     ndpn = disc.ndpn
     n_elem = disc.n_elem
-    if J_e.shape[0] == J_e.shape[1]:  # trailing (nde, nde, E_pad)
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+
+    if jac_is_trailing(J_e, disc):  # trailing (nde, nde, E_pad)
         rows = jnp.stack(
             [
                 jnp.stack(
