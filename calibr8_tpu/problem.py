@@ -145,16 +145,26 @@ class Problem:
         )
         self.step_solver = StepSolver(self.assembler, newton_cfg)
 
-        # geometric multigrid on the refinement hierarchy (the MueLu AMG
-        # analog, linear_solve.cpp:36-123) when the deck asks for it and
-        # the mesh carries a uniform-refinement chain
+        # multigrid preconditioning (the MueLu AMG analog,
+        # linear_solve.cpp:36-123): geometric on a uniform-refinement
+        # chain when the mesh carries one, otherwise aggregation AMG
+        # built from the element connectivity alone (solve/amg.py) —
+        # imported .smb meshes, the real calibration workloads, get an
+        # h-robust hierarchy too.  'preconditioner: amg' forces the
+        # aggregation path even on refined builtin meshes.
         self.mg_factory = None
-        if la.get("preconditioner") == "multigrid" and refine_chain:
+        precond = la.get("preconditioner")
+        if precond == "multigrid" and refine_chain:
             from calibr8_tpu.solve.mg import MGPrecondFactory
 
             self.mg_factory = MGPrecondFactory(
                 self.disc, refine_chain, base_mesh=refine_base
             )
+        elif precond in ("multigrid", "amg"):
+            from calibr8_tpu.solve.amg import AMGPrecondFactory
+
+            self.mg_factory = AMGPrecondFactory(self.disc)
+        if self.mg_factory is not None:
             self.step_solver.mg_factory = self.mg_factory
 
         self.dbcs = DirichletBCs(

@@ -86,6 +86,150 @@ def composite_parents(refine_chain):
     return idx, w
 
 
+def fine_u_setup(disc, J_e, diag, bc_dofs, op, uslots, omega):
+    """Fine-level u-block pieces shared by the geometric (this module)
+    and aggregation (solve/amg.py) multigrid preconditioners: u-block
+    element Jacobians (trailing layout when available), the u-block
+    matvec `op_u`, the damped node-block Jacobi smoother, the Dirichlet
+    u-mask, and the u/p block-GS closure pieces (Apu, app)."""
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+
+    d = disc.spec.dim
+    spec = disc.spec
+    n_u = disc.n_dofs_u
+    trailing = jac_is_trailing(J_e, disc)
+    if trailing:
+        # u-block in trailing layout (nde_u, nde_u, n_e): the
+        # elem-first (n_e, 12, 12) form pads ~14x on TPU tiles
+        # (1.5 GB per temp at 196k elements -> HBM OOM)
+        J_uuT = jnp.take(
+            jnp.take(J_e, jnp.asarray(uslots), axis=0),
+            jnp.asarray(uslots),
+            axis=1,
+        )[:, :, : disc.n_elem]
+        J_uu = None
+    else:
+        J_uu = J_e[:, uslots, :][:, :, uslots]
+        J_uuT = None
+
+    # node-diagonal blocks with Dirichlet row replacement (the same
+    # treatment as BlockJacobiGS, solve/precond.py)
+    blocks = node_block_diagonal(disc, J_e)  # (n_nodes, ndpn, ndpn)
+    D = disc.nodemat(diag)
+    bc_mask = jnp.zeros(disc.n_dofs, bool).at[bc_dofs].set(True)
+    dtype = J_e.dtype
+    bc_nm = disc.nodemat(bc_mask.astype(dtype))
+    eye = jnp.eye(disc.ndpn, dtype=dtype)
+    rowsel = bc_nm[:, :, None]
+    blocks = blocks * (1.0 - rowsel) + rowsel * eye[None] * D[:, :, None]
+
+    Bu = blocks[:, :d, :d]
+    Bu_inv = gauss_solve(
+        Bu, jnp.broadcast_to(jnp.eye(d, dtype=dtype), Bu.shape),
+        pivot=True,
+    )  # (n_nodes, d, d)
+    Apu = blocks[:, d, :d] if spec.mixed else None
+    app = blocks[:, d, d] if spec.mixed else None
+    if spec.mixed:
+        app = jnp.where(jnp.abs(app) > 1e-300, app, 1.0)
+
+    conn = disc.conn
+    diag_u = diag[:n_u]
+    bc_u = bc_mask[:n_u]
+
+    if op is not None:
+        # restrict the FULL operator (the fast assembled-ELL apply
+        # on TPU): y_u = A_uu v_u is op([v_u; 0]) truncated — the p
+        # columns see zeros, the p rows are dropped
+        n_p = disc.n_dofs - n_u
+
+        def op_u(v):
+            z = jnp.concatenate([v, jnp.zeros(n_p, v.dtype)])
+            return op(z)[:n_u]
+
+    elif trailing:
+
+        def op_u(v):
+            # a u-only matvec via a zero-padded full vector would
+            # need the full disc; do the trailing loop directly
+            V = v.reshape(disc.n_nodes, d)
+            v_eT = V[conn].reshape(disc.n_elem, -1).T
+            nde_u = len(uslots)
+            rows = []
+            for i in range(nde_u):
+                acc = J_uuT[i, 0] * v_eT[0]
+                for j in range(1, nde_u):
+                    acc = acc + J_uuT[i, j] * v_eT[j]
+                rows.append(acc)
+            Y = disc.scatter_rows(
+                jnp.stack(rows, 0).T.reshape(-1, d)
+            )
+            out = Y.reshape(-1)
+            return jnp.where(bc_u, diag_u * v, out)
+
+    else:
+
+        def op_u(v):
+            V = v.reshape(disc.n_nodes, d)
+            v_e = V[conn].reshape(disc.n_elem, -1)
+            y_e = jnp.einsum("eij,ej->ei", J_uu, v_e)
+            Y = disc.scatter_rows(y_e.reshape(-1, d))
+            out = Y.reshape(-1)
+            return jnp.where(bc_u, diag_u * v, out)
+
+    mask_u = jnp.where(bc_u, 0.0, 1.0).astype(dtype)
+    m_eT = (
+        mask_u.reshape(disc.n_nodes, d)[conn]
+        .reshape(disc.n_elem, -1)
+        .T
+    )  # (nde_u, n_e)
+
+    def smooth(r):
+        Z = jnp.einsum(
+            "nij,nj->ni", Bu_inv, r.reshape(disc.n_nodes, d)
+        )
+        return omega * Z.reshape(-1)
+
+    return dict(
+        trailing=trailing,
+        J_uuT=J_uuT,
+        J_uu=J_uu,
+        op_u=op_u,
+        smooth=smooth,
+        Bu_inv=Bu_inv,
+        Apu=Apu,
+        app=app,
+        mask_u=mask_u,
+        m_eT=m_eT,
+        bc_u=bc_u,
+        diag_u=diag_u,
+        dtype=dtype,
+    )
+
+
+def mixed_wrap(disc, vcycle, fu):
+    """Wrap a u-block cycle into the u/p block Gauss-Seidel the
+    one-level preconditioner uses (solve/precond.py):
+    z_u = cycle(r_u); z_p = app^{-1} (r_p - A_pu z_u)."""
+    d = disc.spec.dim
+    n_u = disc.n_dofs_u
+    spec = disc.spec
+    Apu = fu["Apu"]
+    app = fu["app"]
+
+    def M(r):
+        r_u = r[:n_u]
+        z_u = vcycle(r_u)
+        if not spec.mixed:
+            return z_u
+        Zu = z_u.reshape(disc.n_nodes, d)
+        r_p = r[n_u:] - jnp.sum(Apu * Zu, axis=1)
+        z_p = r_p / app
+        return jnp.concatenate([z_u, z_p])
+
+    return M
+
+
 class MGPrecondFactory:
     """Per-problem MG setup (host, once); make() builds the
     preconditioner for one assembled element-Jacobian state (once per
@@ -216,106 +360,27 @@ class MGPrecondFactory:
         """Build the preconditioner callable for one assembled state.
 
         J_e: element Jacobians, elem-first (n_e, nde, nde) or trailing
-        (nde, nde, E_pad).  `op` (the full matvec) is unused — kept for
-        call-site compatibility."""
+        (nde, nde, E_pad).  `op` (the full assembled matvec) is used,
+        when given, as the fine-level u-block apply."""
         disc = self.disc
         d = self.d
-        spec = disc.spec
         n_u = disc.n_dofs_u
-        trailing = J_e.shape[0] == J_e.shape[1]
-        if trailing:
-            # u-block in trailing layout (nde_u, nde_u, n_e): the
-            # elem-first (n_e, 12, 12) form pads ~14x on TPU tiles
-            # (1.5 GB per temp at 196k elements -> HBM OOM)
-            J_uuT = jnp.take(
-                jnp.take(J_e, jnp.asarray(self.uslots), axis=0),
-                jnp.asarray(self.uslots),
-                axis=1,
-            )[:, :, : disc.n_elem]
-            Jef = None
-        else:
-            Jef = J_e
-            J_uuT = None
-
-        # node-diagonal blocks with Dirichlet row replacement (the same
-        # treatment as BlockJacobiGS, solve/precond.py)
-        blocks = node_block_diagonal(disc, J_e)  # (n_nodes, ndpn, ndpn)
-        D = disc.nodemat(diag)
-        bc_mask = jnp.zeros(disc.n_dofs, bool).at[bc_dofs].set(True)
-        dtype = J_e.dtype
-        bc_nm = disc.nodemat(bc_mask.astype(dtype))
-        eye = jnp.eye(disc.ndpn, dtype=dtype)
-        rowsel = bc_nm[:, :, None]
-        blocks = blocks * (1.0 - rowsel) + rowsel * eye[None] * D[:, :, None]
-
-        Bu = blocks[:, :d, :d]
-        Bu_inv = gauss_solve(
-            Bu, jnp.broadcast_to(jnp.eye(d, dtype=dtype), Bu.shape),
-            pivot=True,
-        )  # (n_nodes, d, d)
-        Apu = blocks[:, d, :d] if spec.mixed else None
-        app = blocks[:, d, d] if spec.mixed else None
-        if spec.mixed:
-            app = jnp.where(jnp.abs(app) > 1e-300, app, 1.0)
-
-        conn = disc.conn
-        diag_u = diag[:n_u]
-        bc_u = bc_mask[:n_u]
-        if not trailing:
-            J_uu = Jef[:, self.uslots, :][:, :, self.uslots]
-
-        if op is not None:
-            # restrict the FULL operator (the fast assembled-ELL apply
-            # on TPU): y_u = A_uu v_u is op([v_u; 0]) truncated — the p
-            # columns see zeros, the p rows are dropped
-            n_p = disc.n_dofs - n_u
-
-            def op_u(v):
-                z = jnp.concatenate([v, jnp.zeros(n_p, v.dtype)])
-                return op(z)[:n_u]
-
-        elif trailing:
-
-            def op_u(v):
-                from calibr8_tpu.fem.assembly import ebe_matvec_T
-
-                # a u-only matvec via a zero-padded full vector would
-                # need the full disc; do the trailing loop directly
-                V = v.reshape(disc.n_nodes, d)
-                v_eT = V[conn].reshape(disc.n_elem, -1).T
-                nde_u = len(self.uslots)
-                rows = []
-                for i in range(nde_u):
-                    acc = J_uuT[i, 0] * v_eT[0]
-                    for j in range(1, nde_u):
-                        acc = acc + J_uuT[i, j] * v_eT[j]
-                    rows.append(acc)
-                Y = disc.scatter_rows(
-                    jnp.stack(rows, 0).T.reshape(-1, d)
-                )
-                out = Y.reshape(-1)
-                return jnp.where(bc_u, diag_u * v, out)
-
-        else:
-
-            def op_u(v):
-                V = v.reshape(disc.n_nodes, d)
-                v_e = V[conn].reshape(disc.n_elem, -1)
-                y_e = jnp.einsum("eij,ej->ei", J_uu, v_e)
-                Y = disc.scatter_rows(y_e.reshape(-1, d))
-                out = Y.reshape(-1)
-                return jnp.where(bc_u, diag_u * v, out)
+        fu = fine_u_setup(
+            disc, J_e, diag, bc_dofs, op, self.uslots, self.omega
+        )
+        trailing = fu["trailing"]
+        J_uuT = fu["J_uuT"]
+        J_uu = fu["J_uu"]
+        op_u = fu["op_u"]
+        smooth = fu["smooth"]
+        dtype = fu["dtype"]
+        mask_u = fu["mask_u"]
+        m_eT = fu["m_eT"]
 
         # coarse Galerkin operator of the (Dirichlet-masked) u block,
         # assembled in TRAILING layout: every (a, b) intermediate is
         # (nde_u, nde_u, n_e) / 1-D — lane-aligned, no tile-padding
         # blowup (the elem-first form OOM'd HBM at 196k elements)
-        mask_u = jnp.where(bc_u, 0.0, 1.0).astype(dtype)
-        m_eT = (
-            mask_u.reshape(disc.n_nodes, d)[conn]
-            .reshape(disc.n_elem, -1)
-            .T
-        )  # (nde_u, n_e)
         wgtT = jnp.moveaxis(self.wgt, 0, -1)  # (nde_u, K, n_e)
         W_T = wgtT * m_eT[:, None, :]  # (nde_u, K, n_e)
         cdT = jnp.moveaxis(self.cd, 0, -1).astype(jnp.int32)  # (nde_u, K, n_e)
@@ -367,14 +432,6 @@ class MGPrecondFactory:
         A_c = A_c + jnp.diag(jnp.where(jnp.abs(dg) < 1e-12, 1.0, 0.0))
         coarse_solve = _coarse_dense_solver(A_c)
 
-        omega = self.omega
-
-        def smooth(r):
-            Z = jnp.einsum(
-                "nij,nj->ni", Bu_inv, r.reshape(disc.n_nodes, d)
-            )
-            return omega * Z.reshape(-1)
-
         def vcycle(r):
             z = smooth(r)
             r2 = r - op_u(z)
@@ -383,14 +440,4 @@ class MGPrecondFactory:
             r3 = r - op_u(z)
             return z + smooth(r3)
 
-        def M(r):
-            r_u = r[:n_u]
-            z_u = vcycle(r_u)
-            if not spec.mixed:
-                return z_u
-            Zu = z_u.reshape(disc.n_nodes, d)
-            r_p = r[n_u:] - jnp.sum(Apu * Zu, axis=1)
-            z_p = r_p / app
-            return jnp.concatenate([z_u, z_p])
-
-        return M
+        return mixed_wrap(disc, vcycle, fu)
