@@ -1,38 +1,51 @@
 """Headline benchmarks on the real TPU chip.
 
-Measures the three north-star quantities (BASELINE.md 'Performance
-targets'):
+Measures the north-star quantities (BASELINE.md 'Performance targets'):
 
   * assembly        — element-Jacobian assembly throughput (GDOF/s):
                       batched per-IP constitutive Newton + statically
                       condensed element Jacobians + EBE scatter, the
                       analog of eval_forward_jacobian
                       (reference: source/calibr8/src/evaluations.cpp:12-154);
-  * newton_step     — one full primal Newton iteration: assembly +
+  * newton          — one full primal Newton iteration: assembly +
                       block-preconditioned GMRES solve + DBC handling
                       (primal.cpp:31-209 analog);
-  * adjoint_step    — one backward adjoint step: fused element blocks,
+  * adjoint         — one backward adjoint step: fused element blocks,
                       transposed solve, local back-substitution and
                       parameter-gradient accumulation
                       (adjoint.cpp:76-189, evaluations.cpp:349-930);
+  * scale           — the same three at the largest single-chip mesh
+                      (>=1M DOF), plus the measured extrapolation to
+                      the 10M-DOF / 2 s-per-adjoint-step north star;
 
-each in f32 and f64 (the reference is f64-only; CALIBR8_X64 gates the
-dtype because TPU f64 is emulated), plus a roofline estimate from
-XLA's compiled cost analysis (flops + bytes accessed vs v5e peaks).
+in f32 and f64 (the reference is f64-only; CALIBR8_X64 gates the dtype
+because TPU f64 is emulated), plus a roofline estimate from XLA's
+compiled cost analysis (flops + bytes accessed vs v5e peaks).
 
-The driver contract is ONE JSON line: the headline metric stays f32
-assembly GDOF/s (vs the 0.005 GDOF/s north-star rate = 10M-DOF adjoint
-step in 2 s); everything else rides in "detail".  Sub-benchmarks run
-in subprocesses (`bench.py --mode ... --dtype ...`) so each gets a
-clean x64 configuration.
+Driver-survival contract (the round-2 record was lost to a timeout):
+the headline JSON line is re-printed AFTER EVERY MODE with everything
+measured so far, so the last stdout line is always a complete record
+of whatever finished; a global wall-clock deadline skips remaining
+modes; SIGTERM/SIGINT print the final line before exiting; and a
+persistent compilation cache (.jax_cache/) makes reruns skip the
+5-20 min TPU compiles.  Sub-benchmarks run in subprocesses
+(`bench.py --mode ... --dtype ...`) so each gets a clean x64 config.
 """
 
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_compile_cache():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def build_problem(n, dtype_str, refinements=0):
@@ -108,12 +121,16 @@ def representative_state(prob):
     return x, x_prev, xi_prev
 
 
-def make_assemble(prob):
-    """Jitted assembly closure (Pallas fast path on TPU when the model
-    supports it)."""
+def make_assemble_raw(prob, hoist=None):
+    """UNJITTED assembly callable + aux pytree: fn(x, x_prev, xi_prev,
+    params, aux) where `aux` must be threaded through the caller's jit
+    arguments (it holds the Pallas path's prepared element state, which
+    would otherwise be embedded as a device-array constant).  Picks the
+    Pallas fast path on TPU when the model supports it."""
     import jax
 
     a = prob.assembler
+    disc = prob.disc
     from calibr8_tpu.fem import pallas_assembly
 
     if (
@@ -124,31 +141,57 @@ def make_assemble(prob):
     ):
         raw = pallas_assembly.make_pallas_assemble(a)
         x, x_prev, xi_prev = representative_state(prob)
-        prep = jax.jit(raw.prepare)(x_prev, xi_prev)
+        if hoist is None:
+            prep = jax.jit(raw.prepare)(x_prev, xi_prev)
+        else:
+
+            @jax.jit
+            def prep_h(st, x_prev, xi_prev):
+                with disc.bind(st):
+                    return raw.prepare(x_prev, xi_prev)
+
+            prep = prep_h(hoist, x_prev, xi_prev)
         jax.block_until_ready(prep)
-        inner = jax.jit(
-            lambda x, p0, p1, params: raw.assemble_prepared(
-                x, p0, p1, params, trailing_J=True
-            )
-        )
 
-        def assemble(x, x_prev, xi_prev, params):
-            R, J_e, diag, xi, path, nfail = inner(x, prep[0], prep[1], params)
-            return R, J_e, diag, xi, path, nfail
+        def fn(x, x_prev, xi_prev, params, aux):
+            p0, p1 = aux
+            return raw.assemble_prepared(x, p0, p1, params, trailing_J=True)
 
-        return assemble
+        return fn, (prep[0], prep[1])
 
     import jax.numpy as jnp
 
-    @jax.jit
-    def assemble(x, x_prev, xi_prev, params):
+    def fn(x, x_prev, xi_prev, params, aux):
         loc = a.local_solve(x, x_prev, xi_prev, params)
         R, J_e, diag = a.residual_and_jacobian(
             x, x_prev, loc.xi, xi_prev, loc.path, params
         )
         return R, J_e, diag, loc.xi, loc.path, jnp.sum(loc.failed)
 
-    return assemble
+    return fn, ()
+
+
+def make_assemble(prob, hoist=None):
+    """Jitted assembly closure.  With `hoist` (disc.hoist_args()), the
+    big static index/geometry arrays AND the assembly aux state pass as
+    jit ARGUMENTS instead of embedded constants — required at 1M+ DOF
+    where the embedded form overflows the axon remote-compile request
+    (HTTP 413)."""
+    import jax
+
+    disc = prob.disc
+    fn, aux = make_assemble_raw(prob, hoist=hoist)
+
+    if hoist is None:
+        inner = jax.jit(lambda x, xp, xip, params, aux: fn(x, xp, xip, params, aux))
+        return lambda x, xp, xip, params: inner(x, xp, xip, params, aux)
+
+    @jax.jit
+    def body_h(st, aux, x, xp, xip, params):
+        with disc.bind(st):
+            return fn(x, xp, xip, params, aux)
+
+    return lambda x, xp, xip, params: body_h(hoist, aux, x, xp, xip, params)
 
 
 def timeit(fn, args, iters):
@@ -156,10 +199,14 @@ def timeit(fn, args, iters):
 
     out = fn(*args)  # warmup/compile
     jax.block_until_ready(out)
+    # synchronize EVERY call: blocking only on the last output let the
+    # axon tunnel's async dispatch under-report (round-2's newton_f64
+    # recorded 0.2 ms for a full Newton step); per-call sync overhead is
+    # ~ms against >=10 ms measurements
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -178,145 +225,244 @@ def cost_analysis(fn, args):
         return 0.0, 0.0
 
 
-def run_mode(mode, dtype_str, n):
+def _bench_assembly(prob, out, iters, with_roofline=True, hoist=None):
+    import jax
+
+    disc = prob.disc
+    x, x_prev, xi_prev = representative_state(prob)
+    params = prob.params0
+    assemble = make_assemble(prob, hoist=hoist)
+    dt = timeit(assemble, (x, x_prev, xi_prev, params), iters)
+    out["seconds"] = dt
+    out["gdof_per_s"] = disc.n_dofs / dt / 1e9
+    if not with_roofline:
+        return
+    # roofline for the XLA (non-Pallas) path: cost_analysis sees
+    # through jit but is blind to Pallas kernels, so the ratio is
+    # computed against the XLA path's OWN measured time — the gap
+    # between xla_seconds and seconds is the Pallas speedup
+    a = prob.assembler
+
+    def xla_assemble(x, x_prev, xi_prev, params):
+        loc = a.local_solve(x, x_prev, xi_prev, params)
+        return a.residual_and_jacobian(
+            x, x_prev, loc.xi, xi_prev, loc.path, params
+        )
+
+    flops, bytes_ = cost_analysis(xla_assemble, (x, x_prev, xi_prev, params))
+    out["xla_flops"] = flops
+    out["xla_bytes"] = bytes_
+    try:
+        xla_fn = jax.jit(xla_assemble)
+        dt_xla = timeit(xla_fn, (x, x_prev, xi_prev, params), max(iters // 2, 2))
+        out["xla_seconds"] = dt_xla
+        out["pallas_speedup"] = dt_xla / dt
+        # v5e: 819 GB/s HBM — the binding resource for this
+        # scatter/gather-heavy computation
+        out["xla_achieved_gb_s"] = bytes_ / dt_xla / 1e9
+        out["xla_hbm_roofline_fraction"] = (bytes_ / dt_xla) / 819e9
+        # the useful-bytes floor: state in + R/J/diag out once
+        useful = (
+            x.nbytes * 2
+            + xi_prev.nbytes * 2
+            + disc.n_elem
+            * (disc.spec.ndofs_elem**2 + 2 * disc.spec.ndofs_elem)
+            * x.dtype.itemsize
+        )
+        out["useful_bytes"] = useful
+        out["pallas_bw_fraction_of_useful"] = (useful / dt) / 819e9
+    except Exception as e:  # noqa: BLE001
+        out["xla_time_error"] = str(e)[-200:]
+
+
+def _newton_fn(prob, dtype_str, mg, hoist=None):
     import jax
     import jax.numpy as jnp
+
+    from calibr8_tpu.fem.bcs import apply_dbcs_residual
+    from calibr8_tpu.solve import linear as linear_mod
+
+    disc = prob.disc
+    # to-convergence budget (max_iters counts TOTAL inner iterations;
+    # solve_relres in the output verifies the solve actually reached
+    # tol).  f32 attainable accuracy at this conditioning is ~1e-2
+    # relative (eps32 * kappa); Newton is inexact anyway.
+    lin_cfg = linear_mod.LinearCfg(
+        method="gmres",
+        tol=5e-3 if dtype_str == "f32" else 1e-6,
+        max_iters=800,
+        restart=100,
+        refine_iters=1,
+    )
+
+    fn, aux = make_assemble_raw(prob, hoist=hoist)
+
+    def body(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux):
+        R, J_e, diag, xi, path, nfail = fn(x, x_prev, xi_prev, params, aux)
+        R = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
+        dx, relres = linear_mod.solve_info(
+            lin_cfg, J_e, disc, diag, -R, bc_dofs, mg=mg
+        )
+        return x + dx, xi, jnp.linalg.norm(R), relres
+
+    if hoist is None:
+        inner = jax.jit(body)
+        return lambda *args: inner(*args, aux)
+
+    @jax.jit
+    def body_h(st, aux, x, x_prev, xi_prev, params, bc_dofs, bc_vals):
+        with disc.bind(st):
+            return body(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux)
+
+    return lambda *args: body_h(hoist, aux, *args)
+
+
+def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None):
+    disc = prob.disc
+    x, x_prev, xi_prev = representative_state(prob)
+    params = prob.params0
+    bc_dofs, bc_vals = prob.dbcs.arrays(1.0)
+    mg = prob.mg_factory if refinements else None
+    newton_step = _newton_fn(prob, dtype_str, mg, hoist=hoist)
+    dt = timeit(
+        newton_step, (x, x_prev, xi_prev, params, bc_dofs, bc_vals), iters
+    )
+    out["seconds"] = dt
+    out["gdof_per_s"] = disc.n_dofs / dt / 1e9
+    out["solve_relres"] = float(
+        newton_step(x, x_prev, xi_prev, params, bc_dofs, bc_vals)[3]
+    )
+    if refinements:
+        out["preconditioner"] = "multigrid"
+
+
+def _make_adjoint_fn(prob, dtype_str, hoist=None):
+    import jax
+    import jax.numpy as jnp
+
+    from calibr8_tpu.solve.adjoint import Adjoint
+    from calibr8_tpu.solve import linear as linear_mod
+
+    disc = prob.disc
+    lin_cfg = linear_mod.LinearCfg(
+        method="gmres",
+        tol=1e-4 if dtype_str == "f32" else 1e-8,
+        max_iters=1500,
+        restart=150,
+        refine_iters=0,
+    )
+    adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, lin_cfg)
+    adj.linear_cfg = lin_cfg  # keep the benchmark tolerance
+    bc_dofs, _ = prob.dbcs.arrays(1.0)
+    aux = prob.qoi.setup_step(1, 1.0, 1.0, 2.0)
+    nde = disc.edofs.shape[1]
+    f0 = jnp.zeros((disc.n_elem, nde), disc.dtype)
+    g0 = jnp.zeros((disc.n_elem, prob.assembler.nxi), disc.dtype)
+
+    def adjoint_step(x, x_prev, xi, xi_prev, path, params, f, g):
+        return adj._step_impl(
+            x, x_prev, xi, xi_prev, path, params, f, g, bc_dofs, aux
+        )
+
+    if hoist is None:
+        return jax.jit(adjoint_step), f0, g0
+
+    @jax.jit
+    def step_h(st, *args):
+        with disc.bind(st):
+            return adjoint_step(*args)
+
+    return (lambda *args: step_h(hoist, *args)), f0, g0
+
+
+def _bench_adjoint(prob, out, dtype_str, iters, hoist=None):
+    import jax
+
+    disc = prob.disc
+    x, x_prev, xi_prev = representative_state(prob)
+    params = prob.params0
+    if hoist is None:
+        loc = jax.jit(prob.assembler.local_solve)(x, x_prev, xi_prev, params)
+    else:
+
+        @jax.jit
+        def loc_h(st, x, x_prev, xi_prev, params):
+            with disc.bind(st):
+                return prob.assembler.local_solve(x, x_prev, xi_prev, params)
+
+        loc = loc_h(hoist, x, x_prev, xi_prev, params)
+    jfn, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist)
+    dt = timeit(
+        jfn, (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0), iters
+    )
+    out["seconds"] = dt
+    out["gdof_per_s"] = disc.n_dofs / dt / 1e9
+
+
+def run_mode(mode, dtype_str, n):
+    import jax
 
     refinements = 2 if mode == "newton_mg" else 0
     if mode == "newton_mg":
         mode = "newton"
+    iters = 10 if dtype_str == "f32" else 5
+
+    if mode == "scale":
+        # chip-limit run: assembly + newton + adjoint at the largest
+        # single-chip mesh, with the measured extrapolation to the
+        # 10M-DOF north star (BASELINE.md 'Performance targets').  The
+        # static index/geometry arrays are hoisted into jit arguments —
+        # embedded-constant compiles overflow the axon remote-compile
+        # request (HTTP 413) at this size.
+        prob = build_problem(n, dtype_str)
+        disc = prob.disc
+        hoist = disc.hoist_args(ell=True)
+        out = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
+        _bench_assembly(prob, out, 5, with_roofline=False, hoist=hoist)
+        nwt = {}
+        _bench_newton(prob, nwt, dtype_str, 3, hoist=hoist)
+        out["newton_seconds"] = nwt["seconds"]
+        out["newton_solve_relres"] = nwt["solve_relres"]
+        adjd = {}
+        _bench_adjoint(prob, adjd, dtype_str, 3, hoist=hoist)
+        out["adjoint_seconds"] = adjd["seconds"]
+        out["adjoint_dof_per_s_per_chip"] = disc.n_dofs / adjd["seconds"]
+        # north star: adjoint < 2 s/step at 10M DOF (BASELINE.md:53-59).
+        # Per-step cost is ~linear in DOFs past 1M (assembly, EBE
+        # matvec, precond are all O(N)); Krylov iteration growth is
+        # the MG story, held fixed here.
+        out["adjoint_s_per_step_at_10M_dof_extrapolated"] = (
+            adjd["seconds"] * 1e7 / disc.n_dofs
+        )
+        out["device"] = str(jax.devices()[0])
+        return out
+
     prob = build_problem(n, dtype_str, refinements=refinements)
     disc = prob.disc
-    x, x_prev, xi_prev = representative_state(prob)
-    params = prob.params0
-    iters = 10 if dtype_str == "f32" else 5
     out = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
-
     if mode == "assembly":
-        assemble = make_assemble(prob)
-        dt = timeit(assemble, (x, x_prev, xi_prev, params), iters)
-        out["seconds"] = dt
-        out["gdof_per_s"] = disc.n_dofs / dt / 1e9
-        # roofline for the XLA (non-Pallas) path: cost_analysis sees
-        # through jit but is blind to Pallas kernels, so the ratio is
-        # computed against the XLA path's OWN measured time — the gap
-        # between xla_seconds and seconds is the Pallas speedup
-        a = prob.assembler
-
-        def xla_assemble(x, x_prev, xi_prev, params):
-            loc = a.local_solve(x, x_prev, xi_prev, params)
-            return a.residual_and_jacobian(
-                x, x_prev, loc.xi, xi_prev, loc.path, params
-            )
-
-        flops, bytes_ = cost_analysis(
-            xla_assemble, (x, x_prev, xi_prev, params)
-        )
-        out["xla_flops"] = flops
-        out["xla_bytes"] = bytes_
-        try:
-            xla_fn = jax.jit(xla_assemble)
-            dt_xla = timeit(
-                xla_fn, (x, x_prev, xi_prev, params), max(iters // 2, 2)
-            )
-            out["xla_seconds"] = dt_xla
-            out["pallas_speedup"] = dt_xla / dt
-            # v5e: 819 GB/s HBM — the binding resource for this
-            # scatter/gather-heavy computation
-            out["xla_achieved_gb_s"] = bytes_ / dt_xla / 1e9
-            out["xla_hbm_roofline_fraction"] = (bytes_ / dt_xla) / 819e9
-            # the useful-bytes floor: state in + R/J/diag out once
-            useful = (
-                x.nbytes * 2
-                + xi_prev.nbytes * 2
-                + disc.n_elem
-                * (disc.spec.ndofs_elem**2 + 2 * disc.spec.ndofs_elem)
-                * x.dtype.itemsize
-            )
-            out["useful_bytes"] = useful
-            out["pallas_bw_fraction_of_useful"] = (useful / dt) / 819e9
-        except Exception as e:  # noqa: BLE001
-            out["xla_time_error"] = str(e)[-200:]
-
+        _bench_assembly(prob, out, iters)
     elif mode == "newton":
-        from calibr8_tpu.fem.bcs import apply_dbcs_residual
-        from calibr8_tpu.solve import linear as linear_mod
-
-        assemble = make_assemble(prob)
-        bc_dofs, bc_vals = prob.dbcs.arrays(1.0)
-        # to-convergence budget (max_iters counts TOTAL inner
-        # iterations; solve_relres in the output verifies the solve
-        # actually reached tol — one-level block-GS needs ~400 at 196k
-        # elements, the MG variant a small fraction of that)
-        # f32 attainable accuracy at this conditioning is ~1e-2 relative
-        # (eps32 * kappa); Newton is inexact anyway.  solve_relres in
-        # the output reports what was actually reached.
-        lin_cfg = linear_mod.LinearCfg(
-            method="gmres",
-            tol=5e-3 if dtype_str == "f32" else 1e-6,
-            max_iters=800,
-            restart=100,
-            refine_iters=1,
-        )
-
-        mg = prob.mg_factory if refinements else None
-
-        @jax.jit
-        def newton_step(x, x_prev, xi_prev, params, bc_dofs, bc_vals):
-            R, J_e, diag, xi, path, nfail = assemble(
-                x, x_prev, xi_prev, params
-            )
-            R = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
-            dx, relres = linear_mod.solve_info(
-                lin_cfg, J_e, disc, diag, -R, bc_dofs, mg=mg
-            )
-            return x + dx, xi, jnp.linalg.norm(R), relres
-
-        dt = timeit(
-            newton_step, (x, x_prev, xi_prev, params, bc_dofs, bc_vals), iters
-        )
-        out["seconds"] = dt
-        out["gdof_per_s"] = disc.n_dofs / dt / 1e9
-        out["solve_relres"] = float(
-            newton_step(x, x_prev, xi_prev, params, bc_dofs, bc_vals)[3]
-        )
-        if refinements:
-            out["preconditioner"] = "multigrid"
-
+        _bench_newton(prob, out, dtype_str, iters, refinements=refinements)
     elif mode == "adjoint":
-        from calibr8_tpu.solve.adjoint import Adjoint
-        from calibr8_tpu.solve import linear as linear_mod
-
-        lin_cfg = linear_mod.LinearCfg(
-            method="gmres",
-            tol=1e-4 if dtype_str == "f32" else 1e-8,
-            max_iters=1500,
-            restart=150,
-            refine_iters=0,
-        )
-        adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, lin_cfg)
-        adj.linear_cfg = lin_cfg  # keep the benchmark tolerance
-        bc_dofs, _ = prob.dbcs.arrays(1.0)
-        aux = prob.qoi.setup_step(1, 1.0, 1.0, 2.0)
-        loc = jax.jit(prob.assembler.local_solve)(x, x_prev, xi_prev, params)
-        nde = disc.edofs.shape[1]
-        f = jnp.zeros((disc.n_elem, nde), disc.dtype)
-        g = jnp.zeros((disc.n_elem, prob.assembler.nxi), disc.dtype)
-
-        def adjoint_step(x, x_prev, xi, xi_prev, path, params, f, g):
-            return adj._step_impl(
-                x, x_prev, xi, xi_prev, path, params, f, g, bc_dofs, aux
-            )
-
-        jfn = jax.jit(adjoint_step)
-        dt = timeit(
-            jfn, (x, x_prev, loc.xi, xi_prev, loc.path, params, f, g), iters
-        )
-        out["seconds"] = dt
-        out["gdof_per_s"] = disc.n_dofs / dt / 1e9
-
+        _bench_adjoint(prob, out, dtype_str, iters)
     out["device"] = str(jax.devices()[0])
     return out
+
+
+def _headline(detail):
+    head = detail.get("assembly_f32", {})
+    gdofs = head.get("gdof_per_s", 0.0)
+    target = 0.005  # 10M DOF / 2 s north-star rate (BASELINE.json)
+    return json.dumps(
+        {
+            "metric": "jacobian_assembly_gdof_per_s",
+            "value": round(gdofs, 6),
+            "unit": "GDOF/s",
+            "vs_baseline": round(gdofs / target, 3) if gdofs else 0.0,
+            "detail": detail,
+        }
+    )
 
 
 def main():
@@ -324,28 +470,55 @@ def main():
     ap.add_argument("--mode", default=None)
     ap.add_argument("--dtype", default="f32")
     ap.add_argument("--n", type=int, default=None)
+    ap.add_argument(
+        "--deadline",
+        type=float,
+        default=float(os.environ.get("CALIBR8_BENCH_DEADLINE", 1140.0)),
+        help="global wall-clock budget (s) for the full sweep",
+    )
     args = ap.parse_args()
+
+    _enable_compile_cache()
 
     if args.mode is not None:
         os.environ["CALIBR8_X64"] = "0" if args.dtype == "f32" else "1"
         n = args.n or (32 if args.dtype == "f32" else 20)
         out = run_mode(args.mode, args.dtype, n)
-        print(json.dumps(out))
+        print(json.dumps(out), flush=True)
         return
 
+    t_start = time.perf_counter()
+    detail = {}
+
+    def emit():
+        print(_headline(detail), flush=True)
+
+    def _on_signal(signum, frame):  # driver timeout → still emit record
+        detail["aborted"] = f"signal {signum}"
+        emit()
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     # orchestrate: each (mode, dtype) in a fresh process for a clean
-    # x64 config; sizes chosen to fit one chip comfortably
+    # x64 config, CHEAPEST FIRST so a deadline cuts the expensive tail,
+    # never the headline.  The compile cache makes repeat runs ~free.
     plans = [
         ("assembly", "f32", 32),
         ("newton", "f32", 32),
-        ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
         ("adjoint", "f32", 32),
+        ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
+        ("scale", "f32", int(os.environ.get("CALIBR8_BENCH_SCALE_N", 64))),
         ("assembly", "f64", 20),
         ("newton", "f64", 20),
         ("adjoint", "f64", 20),
     ]
-    detail = {}
     for mode, dtype, n in plans:
+        remaining = args.deadline - (time.perf_counter() - t_start)
+        if remaining < 90.0:
+            detail[f"{mode}_{dtype}"] = {"skipped": "deadline"}
+            continue
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
@@ -362,7 +535,7 @@ def main():
                 cmd,
                 capture_output=True,
                 text=True,
-                timeout=1500,
+                timeout=remaining - 20.0,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = r.stdout.strip().splitlines()[-1]
@@ -372,21 +545,10 @@ def main():
             if r is not None and r.stderr:
                 err["stderr_tail"] = r.stderr[-600:]
             detail[f"{mode}_{dtype}"] = err
+        emit()
 
-    head = detail.get("assembly_f32", {})
-    gdofs = head.get("gdof_per_s", 0.0)
-    target = 0.005  # 10M DOF / 2 s north-star rate (BASELINE.json)
-    print(
-        json.dumps(
-            {
-                "metric": "jacobian_assembly_gdof_per_s",
-                "value": round(gdofs, 6),
-                "unit": "GDOF/s",
-                "vs_baseline": round(gdofs / target, 3) if gdofs else 0.0,
-                "detail": detail,
-            }
-        )
-    )
+    detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+    emit()
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ the same 2-block structure the reference's block preconditioner exploits
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -131,12 +133,61 @@ class Disc:
         X = self.nodemat(x)
         return X[self.conn].reshape(self.n_elem, -1)
 
+    # -- constant hoisting (large-mesh compile payloads) ----------------
+    #
+    # Arrays closed over by a jitted function are EMBEDDED in the
+    # compiled module as dense literals.  At 1M+ DOF the index/geometry
+    # arrays total 100s of MB, which (a) bloats every compile and (b)
+    # overflows the axon remote-compile request limit (HTTP 413 at the
+    # n=64 cube).  hoist_args()/bind() let a caller pass them as jit
+    # ARGUMENTS instead: trace the step inside `with disc.bind(args):`
+    # where `args` are the tracers of hoist_args()'s pytree.
+    _HOIST = ("grad_N", "detJ", "h", "coords", "conn", "edofs", "es_ids")
+
+    def hoist_args(self, ell: bool = False):
+        """Big static arrays as a dict pytree (pass through jit)."""
+        st = {k: getattr(self, k) for k in self._HOIST}
+        st["node_inc"] = self.node_inc  # builds + returns jnp
+        if ell:
+            from calibr8_tpu.solve.ellpack import build_ell_maps
+
+            m = build_ell_maps(self)  # host build BEFORE any trace
+            st["ell_nbr"] = m["nbr"]
+            st["ell_idx"] = m["ell_idx"]
+        return st
+
+    @contextlib.contextmanager
+    def bind(self, st):
+        """Temporarily substitute hoisted arrays (typically tracers)
+        for the stored device arrays while a step function is traced."""
+        olds = {k: getattr(self, k) for k in self._HOIST}
+        old_bound = getattr(self, "_node_inc_bound", None)
+        old_ell = getattr(self, "_ell_maps", None)
+        try:
+            for k in self._HOIST:
+                setattr(self, k, st[k])
+            self._node_inc_bound = st["node_inc"]
+            if "ell_nbr" in st:
+                assert old_ell is not None
+                self._ell_maps = dict(
+                    old_ell, nbr=st["ell_nbr"], ell_idx=st["ell_idx"]
+                )
+            yield
+        finally:
+            for k, v in olds.items():
+                setattr(self, k, v)
+            self._node_inc_bound = old_bound
+            self._ell_maps = old_ell
+
     @property
     def node_inc(self):
         """CSR-style node -> incident (element, local-node) slot table,
         padded with an out-of-range slot index.  Used to realize the
         scatter-add as a gather+sum, which is ~1.7x faster than
         segment_sum's scatter on TPU."""
+        bound = getattr(self, "_node_inc_bound", None)
+        if bound is not None:
+            return bound
         if getattr(self, "_node_inc", None) is None:
             from calibr8_tpu import native
 

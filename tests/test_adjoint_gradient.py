@@ -51,6 +51,7 @@ def test_adjoint_gradient_elastic():
     assert drop > 5.5, f"log10 drop {drop}, errs {errs}"
 
 
+@pytest.mark.smoke
 def test_adjoint_gradient_small_j2_notch():
     """The flagship check: path-dependent J2 plasticity over 8 steps;
     adjoint dJ/d(E, K, Y) must match FD to ~7+ decades of error drop."""

@@ -62,6 +62,7 @@ def _base_deck(materials, qoi):
     }
 
 
+@pytest.mark.smoke
 def test_femu_recovery_fast(tmp_path):
     """Fast-suite gate on the flagship synthetic -> calibrate -> recover
     loop (coarser mesh, 2 steps, 2 active params; the full reference

@@ -54,6 +54,7 @@ def run_cli(args, cwd):
     )
 
 
+@pytest.mark.smoke
 def test_cli_primal_regression_and_vtk(tmp_path):
     deck = tmp_path / "deck.yaml"
     deck.write_text(yaml.safe_dump(PRIMAL_DECK))

@@ -110,6 +110,7 @@ def test_dist_assembly_matches_single_device(prob, ctx):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y0), atol=5e-12)
 
 
+@pytest.mark.smoke
 def test_dist_primal_matches_single_device(prob, ctx):
     traj0 = prob.solve_primal()
     traj1 = DistPrimal(ctx).run()

@@ -11,6 +11,7 @@ from calibr8_tpu.problem import Problem
 from calibr8_tpu.solve.ellpack import EllOperator, assemble_ell
 
 from tests.decks import BCS_2D, J2_MAT, make_deck
+import pytest
 
 
 def test_ell_matches_ebe():

@@ -91,6 +91,7 @@ def test_mg_iteration_count_flat_3d_cube():
     assert its[2] <= 2 * its[1], its
 
 
+@pytest.mark.smoke
 def test_mg_primal_matches_dense():
     """Full MG-preconditioned Newton solve == dense-direct solve."""
     deck = make_deck(

@@ -51,6 +51,7 @@ CUBE_ELASTIC = {
 }
 
 
+@pytest.mark.smoke
 def test_cube_elastic_golden_qoi():
     prob = Problem(load_deck(CUBE_ELASTIC))
     traj = prob.solve_primal()

@@ -48,6 +48,7 @@ def _run(name):
 
 
 @pytest.mark.parametrize("name", sorted(FAST))
+@pytest.mark.smoke
 def test_reference_deck_unmodified_fast(name):
     _run(name)
 

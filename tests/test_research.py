@@ -106,6 +106,7 @@ def test_nlelasticity_von_mises_qoi_runs():
     assert res.eta1_bound >= abs(res.eta1) - 1e-12
 
 
+@pytest.mark.smoke
 def test_point_qoi():
     mesh = generators.square(n=8)
     prob = ResearchProblem(mesh, {"type": "nlpoisson", "alpha": 0.5})

@@ -118,6 +118,7 @@ NOTCH2D_SMALL_J2 = {
 }
 
 
+@pytest.mark.smoke
 def test_notch2d_small_j2_end_to_end():
     from calibr8_tpu.deck import load_deck
     from calibr8_tpu.problem import Problem

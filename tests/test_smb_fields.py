@@ -27,6 +27,7 @@ def test_fieldless_write_is_byte_identical(tmp_path):
     assert open(src, "rb").read() == open(out, "rb").read()
 
 
+@pytest.mark.smoke
 def test_field_roundtrip(tmp_path):
     mesh = read_smb(f"{M}/notch2D/notch2D0.smb", f"{M}/notch2D/notch2D.txt")
     rng = np.random.default_rng(0)
