@@ -254,6 +254,53 @@ class BatchedSmallJ2:
     finite_deformation = False
 
 
+class BatchedElastic:
+    """Trailing-layout twin of Elastic (models/elastic.py, reference
+    elastic.cpp): mixed u/p linear elasticity with the reference's
+    1-dof dummy local slot (xi = 0, C = xi).  Analytic kernel mode —
+    the local 'solve' is the identity zero.
+
+    xi (1, E): [dummy]; params (4, E): [E, nu, cte, delta_T].
+    """
+
+    name = "elastic"
+    analytic_solve = True
+    finite_deformation = False
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        self.nxi = 1
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def local_solve(self, xipT, kinT, parT):
+        xiT = jnp.zeros_like(xipT)
+        path = jnp.zeros(xipT.shape[-1], jnp.int32)
+        return xiT, path, jnp.zeros_like(path)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        return xiT
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        return 2.0 * mu * t_dev3(t_sym(kinT.grad_u))
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu, cte, dT = parT[0], parT[1], parT[2], parT[3]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        thermal = cte * dT * Em / (1.0 - 2.0 * nu)
+        return kappa * t_trace(t_sym(kinT.grad_u)) - thermal
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+
 class BatchedHyperJ2:
     """Trailing-layout twin of HyperJ2 (models/hyper_j2.py, reference
     hyper_J2.cpp): finite-deformation multiplicative J2 on the isochoric
@@ -519,7 +566,14 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
     kinematics work (e.g. the hypo family's polar decomposition +
     unrotated rate) hoisted OUT of the Newton body — inside the loop it
     would otherwise be retraced into every iteration AND every
-    linearize tangent pass, which blows up the Mosaic compile."""
+    linearize tangent pass, which blows up the Mosaic compile.
+
+    Twins with `freeze_path = True` (the Hosford/Barlat family,
+    reference small_hosford.cpp / hypo_barlat.cpp solve_nonlinear)
+    select the branch ONCE at the first-guess state and keep it; with
+    `local_line_search = True` the update is damped by the same
+    4-halving Armijo backtracking on 1/2||C||^2 the generic per-point
+    solver uses (models/newton.py), batched per lane."""
     import jax
 
     from calibr8_tpu.utils.smallsolve import gauss_solve_T
@@ -528,6 +582,8 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
     xi0 = bm.first_guess(xipT, kinT, parT)
     dtype = xi0.dtype
     E = xi0.shape[-1]
+    freeze_path = getattr(bm, "freeze_path", False)
+    use_ls = getattr(bm, "local_line_search", freeze_path)
     if rows_io is None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (nxi, E), 0)
     else:
@@ -544,9 +600,11 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
         def resid(z, path):
             return bm.residual(z, xipT, kinT, parT, path)
 
+    path0 = bm.pathfn(xi0, xipT, kinT, parT) if freeze_path else None
+
     def body(state):
         xi, done, it = state
-        path = bm.pathfn(xi, xipT, kinT, parT)
+        path = path0 if freeze_path else bm.pathfn(xi, xipT, kinT, parT)
 
         def C(z):
             return resid(z, path)
@@ -564,6 +622,32 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
         ok = fin[0]
         for kk in range(1, nxi):
             ok = ok * fin[kk]
+        if use_ls:
+            # batched Armijo backtracking (models/newton.py ls_body):
+            # per-lane step alpha halved up to 4 times on the merit
+            # 1/2||C||^2; the final alpha is used even when never
+            # accepted (matching the generic fori_loop semantics)
+            phi0 = 0.5 * rnorm * rnorm
+            c1 = 1.0e-4
+            alpha = jnp.ones(E, dtype)
+            accepted = jnp.zeros(E, jnp.int32)
+            for _ in range(4):
+                Rt = resid(xi + (alpha * ok) * dxi, path)
+                phit = 0.5 * usum(Rt * Rt, 0)
+                fint = jnp.isfinite(Rt).astype(jnp.int32)
+                allfin = fint[0]
+                for kk in range(1, nxi):
+                    allfin = allfin * fint[kk]
+                good = (
+                    (phit <= phi0 * (1.0 - 2.0 * c1 * alpha)).astype(
+                        jnp.int32
+                    )
+                    * allfin
+                )
+                keep = jnp.maximum(good, accepted).astype(dtype)
+                alpha = keep * alpha + (1.0 - keep) * (0.5 * alpha)
+                accepted = jnp.maximum(accepted, good)
+            dxi = alpha * dxi
         gate = (1 - done).astype(dtype) * ok
         return (xi + gate * dxi, done, it + 1)
 
@@ -580,7 +664,7 @@ def _implicit_newton(bm, xipT, kinT, parT, rows_io=None):
     xi, done, _ = jax.lax.while_loop(
         cond, body, (xi0, jnp.zeros(E, jnp.int32), jnp.asarray(0, jnp.int32))
     )
-    path = bm.pathfn(xi, xipT, kinT, parT)
+    path = path0 if freeze_path else bm.pathfn(xi, xipT, kinT, parT)
     Rf = resid(xi, path)
     rnorm = jnp.sqrt(usum(Rf * Rf, 0))
     failed = (rnorm >= jnp.maximum(bm.abs_tol * 10.0, 1e-30)).astype(jnp.int32)
@@ -941,13 +1025,638 @@ class BatchedSmallHillPlaneStrain:
         return _implicit_newton(self, xipT, kinT, parT, rows_io)
 
 
+def t_insert2_zz(a2, zz):
+    """(2, 2, E) + (E,) -> (3, 3, E) with zero off-plane couplings
+    (yield_fns.insert_2d_into_3d + .at[2, 2].set twin)."""
+    z = jnp.zeros_like(zz)
+    r0 = jnp.stack([a2[0, 0], a2[0, 1], z], 0)
+    r1 = jnp.stack([a2[1, 0], a2[1, 1], z], 0)
+    r2 = jnp.stack([z, z, zz], 0)
+    return jnp.stack([r0, r1, r2], 0)
+
+
+class BatchedHypoHillPlaneStrain:
+    """Trailing-layout twin of HypoHillPlaneStrain (models/hypo.py,
+    reference hypo_hill_plane_strain.cpp): 2D MIXED plane strain with
+    the unrotated stress TC plus the out-of-plane TC_zz as extra local
+    state; the polar rotation acts in-plane.  Implicit kernel mode.
+
+    xi (5, E): [TC voigt (3), alpha, TC_zz];
+    params (9, E): [E, nu, Y, S, D, R00, R11, R22, R01].
+    """
+
+    name = "hypo_hill_plane_strain"
+    finite_deformation = True
+    analytic_solve = False
+    newton_iters = 20
+    block_e = 256
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 2
+        self.nc = 3
+        self.nxi = 5
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _lam(self, parT):
+        E, nu = parT[0], parT[1]
+        return E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+
+    def _voce(self, alpha, parT):
+        Y, S, D = parT[2], parT[3], parT[4]
+        return Y + S * (1.0 - jnp.exp(-D * alpha))
+
+    def precompute(self, kinT, parT):
+        d, _ = t_unrotated_rate(kinT)
+        return d
+
+    def first_guess(self, xipT, kinT, parT):
+        lam, mu = self._lam(parT), self._mu(parT)
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        d = self.precompute(kinT, parT)
+        TC = t_add_diag(TC_old + 2.0 * mu * d, lam * t_trace(d))
+        TC_zz = xipT[self.nc + 1] + lam * t_trace(d)
+        return jnp.concatenate(
+            [t_sym_to_voigt(TC, 2), xipT[self.nc][None, :], TC_zz[None, :]],
+            axis=0,
+        )
+
+    def _f_and_n2(self, xiT, parT):
+        mu = self._mu(parT)
+        TC = t_voigt_to_sym(xiT[: self.nc], 2)
+        alpha = xiT[self.nc]
+        TC_zz = xiT[self.nc + 1]
+        TC3 = t_insert2_zz(TC, TC_zz)
+        hp = t_hill_params_2d(parT, 5)
+        hval = t_hill_value(TC3, hp)
+        f = (hval - self._voce(alpha, parT)) / mu
+        n3 = t_hill_normal(TC3, hp, hval)
+        n0 = jnp.stack([n3[0, 0], n3[0, 1]], 0)
+        n1 = jnp.stack([n3[1, 0], n3[1, 1]], 0)
+        return f, jnp.stack([n0, n1], 0)
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        f, _ = self._f_and_n2(xiT, parT)
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual_aux(self, xiT, xipT, d, parT, path):
+        lam, mu = self._lam(parT), self._mu(parT)
+        TC = t_voigt_to_sym(xiT[: self.nc], 2)
+        alpha = xiT[self.nc]
+        TC_zz = xiT[self.nc + 1]
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        alpha_old = xipT[self.nc]
+        TC_zz_old = xipT[self.nc + 1]
+        R_TC = t_sub_diag(TC - TC_old - 2.0 * mu * d, lam * t_trace(d))
+        R_zz = TC_zz - TC_zz_old - lam * t_trace(d)
+        f, n2 = self._f_and_n2(xiT, parT)
+        dgam = alpha - alpha_old
+        dp2 = dgam * n2
+        dp_zz = -t_trace(dp2)
+        w = (path == 1).astype(xiT.dtype)
+        R_out = R_TC + (w * 2.0 * mu) * dp2
+        R_zz_out = R_zz + w * 2.0 * mu * dp_zz
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_out, 2), R_a[None, :], R_zz_out[None, :]],
+            axis=0,
+        )
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        return self.residual_aux(
+            xiT, xipT, self.precompute(kinT, parT), parT, path
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+    # stress measures (in-plane rotation; hydro includes TC_zz) ----------
+    def _rotated(self, xiT, kinT):
+        TC = t_voigt_to_sym(xiT[: self.nc], 2)
+        R = t_polar(t_F(kinT.grad_u))
+        return t_mm(t_mm(R, TC), t_transpose(R))
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        RC = self._rotated(xiT, kinT)
+        return (t_trace(RC) + xiT[self.nc + 1]) / 3.0
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        RC = self._rotated(xiT, kinT)
+        return t_sub_diag(RC, self.hydro_cauchy(xiT, kinT, parT))
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        RC = self._rotated(xiT, kinT)
+        return t_sub_diag(RC, self.hydro_cauchy(xiT, kinT, parT) + pT)
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+
+class BatchedHyperJ2PlaneStrain:
+    """Trailing-layout twin of HyperJ2PlaneStrain (models/hyper_j2.py,
+    reference hyper_J2_plane_strain.cpp): multiplicative J2 with the
+    in-plane isochoric zeta and the plane-strain zz embedding
+    zeta_zz = -tr(zeta).  Implicit kernel mode, 2D mixed u/p path.
+
+    xi (5, E): [zeta voigt (3), Ie, alpha];
+    params (6, E): [E, nu, K, Y, Y_inf, delta].
+    """
+
+    name = "hyper_J2_plane_strain"
+    finite_deformation = True
+    analytic_solve = False
+    newton_iters = 16
+    block_e = 256
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 2
+        self.nc = 3
+        self.nxi = 5
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _sigma_yield(self, alpha, parT):
+        K, Y, Y_inf, delta = (parT[i] for i in range(2, 6))
+        return Y + K * alpha + (Y_inf - Y) * (1.0 - jnp.exp(-delta * alpha))
+
+    def _be_bar_3d(self, xipT, kinT):
+        """(hyper_J2_plane_strain.cpp eval_be_bar_plane_strain)."""
+        zeta_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        Ie_old = xipT[self.nc]
+        F = t_F(kinT.grad_u)
+        F_prev = t_F(kinT.grad_u_prev)
+        rF = t_mm(F, t_inv(F_prev))
+        c = jnp.exp(jnp.log(t_det(rF)) / 3.0)  # cbrt: no Mosaic lowering
+        rF_bar = rF / c
+        be2 = t_mm(
+            t_mm(rF_bar, t_add_diag(zeta_old, Ie_old)), t_transpose(rF_bar)
+        )
+        zeta_zz = -t_trace(zeta_old)
+        be_zz = (zeta_zz + Ie_old) / (c * c)
+        return t_insert2_zz(be2, be_zz)
+
+    def first_guess(self, xipT, kinT, parT):
+        be3 = self._be_bar_3d(xipT, kinT)
+        Ie_tr = t_trace(be3) / 3.0
+        z0 = jnp.stack([be3[0, 0] - Ie_tr, be3[0, 1]], 0)
+        z1 = jnp.stack([be3[1, 0], be3[1, 1] - Ie_tr], 0)
+        zeta_tr = jnp.stack([z0, z1], 0)
+        return jnp.concatenate(
+            [
+                t_sym_to_voigt(zeta_tr, 2),
+                Ie_tr[None, :],
+                xipT[self.nc + 1][None, :],
+            ],
+            axis=0,
+        )
+
+    def _zeta3(self, xiT):
+        zeta = t_voigt_to_sym(xiT[: self.nc], 2)
+        return t_insert2_zz(zeta, -t_trace(zeta))
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        mu = self._mu(parT)
+        alpha = xiT[self.nc + 1]
+        s_mag = t_norm(mu * self._zeta3(xiT))
+        f = (s_mag - SQRT_23 * self._sigma_yield(alpha, parT)) / mu
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        mu = self._mu(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 2)
+        Ie = xiT[self.nc]
+        alpha = xiT[self.nc + 1]
+        alpha_old = xipT[self.nc + 1]
+
+        be3_tr = self._be_bar_3d(xipT, kinT)
+        Ie_tr = t_trace(be3_tr) / 3.0
+        z0 = jnp.stack([be3_tr[0, 0] - Ie_tr, be3_tr[0, 1]], 0)
+        z1 = jnp.stack([be3_tr[1, 0], be3_tr[1, 1] - Ie_tr], 0)
+        zeta_tr = jnp.stack([z0, z1], 0)
+
+        zeta3 = self._zeta3(xiT)
+        s_mag = t_norm(mu * zeta3)
+        f = (s_mag - SQRT_23 * self._sigma_yield(alpha, parT)) / mu
+        n2 = (mu / s_mag) * zeta
+        dgam = SQRT_32 * (alpha - alpha_old)
+
+        R_z_p = zeta - zeta_tr + (2.0 * dgam * Ie) * n2
+        R_Ie_p = t_det(t_add_diag(zeta3, Ie)) - 1.0
+        R_a_p = f
+
+        R_z_e = zeta - zeta_tr
+        R_Ie_e = Ie - Ie_tr
+        R_a_e = alpha - alpha_old
+
+        w = (path == 1).astype(xiT.dtype)
+        R_z = w * R_z_p + (1.0 - w) * R_z_e
+        R_Ie = w * R_Ie_p + (1.0 - w) * R_Ie_e
+        R_a = w * R_a_p + (1.0 - w) * R_a_e
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_z, 2), R_Ie[None, :], R_a[None, :]], axis=0
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+    # stress measures ----------------------------------------------------
+    def dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 2)
+        J = t_det(t_F(kinT.grad_u))
+        return (mu / J) * zeta
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu = parT[0], parT[1]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        J = t_det(t_F(kinT.grad_u))
+        return 0.5 * kappa * (J - 1.0 / J)
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+
+# -- eigensolver yield surfaces (Hosford / Barlat) ----------------------
+#
+# Trailing-layout twins of models/yield_fns.py: the closed-form
+# trigonometric symmetric 3x3 eigendecomposition (eig_spd_cos analog)
+# with the argmax column pick replaced by branchless pairwise selects
+# (Mosaic has no argmax/dynamic-index lowering), and every
+# vector-exponent pow written as exp(e * log|x|) (no Mosaic pow
+# lowering for non-scalar exponents).
+
+
+def t_outer(v):
+    """(3, E) -> v v^T (3, 3, E)."""
+    rows = []
+    for i in range(3):
+        rows.append(jnp.stack([v[i] * v[j] for j in range(3)], 0))
+    return jnp.stack(rows, 0)
+
+
+def t_powa(x, e, tiny=1e-300):
+    """|x|^e with a per-lane exponent (Mosaic-safe exp/log form)."""
+    return jnp.exp(e * jnp.log(jnp.abs(x) + tiny))
+
+
+def t_eig_sym33(A, eps=1e-12):
+    """Eigenvalues (descending) + eigenvectors of symmetric (3, 3, E).
+
+    Twin of yield_fns.eig_sym33 — identical guards so the two paths
+    agree to rounding on any state (including the zero-stress
+    unselected branch evaluated under jnp.where)."""
+    q = t_trace(A) / 3.0
+    B = t_sub_diag(A, q)
+    p2 = usum(usum(B * B, 0), 0) / 6.0
+    p = jnp.sqrt(p2 + eps * eps)
+    Bn = B / p
+    r = jnp.clip(t_det(Bn) / 2.0, -1.0 + 1e-14, 1.0 - 1e-14)
+    phi = jnp.arccos(r) / 3.0
+    lam0 = q + 2.0 * p * jnp.cos(phi)
+    lam2 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam1 = 3.0 * q - lam0 - lam2
+
+    def vec(lam_j, lam_k):
+        M = t_mm(t_sub_diag(A, lam_j), t_sub_diag(A, lam_k))
+        cols = [jnp.stack([M[0, m], M[1, m], M[2, m]], 0) for m in range(3)]
+        norms = [usum(cols[m] * cols[m], 0) for m in range(3)]
+        # branchless first-max over the three columns (argmax analog:
+        # strict > keeps the earlier column on ties)
+        pick1 = (norms[1] > norms[0]).astype(A.dtype)
+        va = pick1 * cols[1] + (1.0 - pick1) * cols[0]
+        na = pick1 * norms[1] + (1.0 - pick1) * norms[0]
+        pick2 = (norms[2] > na).astype(A.dtype)
+        v = pick2 * cols[2] + (1.0 - pick2) * va
+        nmax = pick2 * norms[2] + (1.0 - pick2) * na
+        ok = (jnp.sqrt(nmax) > 1e3 * eps).astype(A.dtype)
+        # degenerate fallback e0 (yield_fns.eig_sym33 vec())
+        one = jnp.ones_like(v[0])
+        zero = jnp.zeros_like(v[0])
+        fb = jnp.stack([one, zero, zero], 0)
+        v = ok * v + (1.0 - ok) * fb
+        return v / jnp.sqrt(usum(v * v, 0) + eps * eps)
+
+    v0 = vec(lam1, lam2)
+    v1r = vec(lam2, lam0)
+    v1r = v1r - usum(v1r * v0, 0) * v0
+    v1 = v1r / jnp.sqrt(usum(v1r * v1r, 0) + eps * eps)
+    v2 = jnp.stack(
+        [
+            v0[1] * v1[2] - v0[2] * v1[1],
+            v0[2] * v1[0] - v0[0] * v1[2],
+            v0[0] * v1[1] - v0[1] * v1[0],
+        ],
+        0,
+    )
+    return (lam0, lam1, lam2), (v0, v1, v2)
+
+
+def t_hosford_phi_n(sigma, dev_sigma, a, eps=1e-30):
+    """Hosford effective stress + flow normal, trailing layout
+    (yield_fns.hosford_phi_and_normal twin; reference
+    small_hosford.cpp:226-266)."""
+    vm = jnp.sqrt(1.5 * usum(usum(dev_sigma * dev_sigma, 0), 0) + eps)
+    (l0, l1, l2), (v0, v1, v2) = t_eig_sym33(sigma)
+    sl0, sl1, sl2 = l0 / vm, l1 / vm, l2 / vm
+    d01 = jnp.clip(sl0 - sl1, -4.0, 4.0)
+    d12 = jnp.clip(sl1 - sl2, -4.0, 4.0)
+    d20 = jnp.clip(sl2 - sl0, -4.0, 4.0)
+    total = 0.5 * (t_powa(d01, a) + t_powa(d12, a) + t_powa(d20, a))
+    phi = vm * jnp.exp(jnp.log(jnp.maximum(total, eps)) / a)
+
+    ps = jnp.maximum(phi, eps)
+    p01 = jnp.clip(l0 / ps - l1 / ps, -4.0, 4.0)
+    p12 = jnp.clip(l1 / ps - l2 / ps, -4.0, 4.0)
+    p20 = jnp.clip(l2 / ps - l0 / ps, -4.0, 4.0)
+    f01 = p01 * t_powa(p01, a - 2.0)
+    f12 = p12 * t_powa(p12, a - 2.0)
+    f20 = p20 * t_powa(p20, a - 2.0)
+    n = 0.5 * (
+        (f01 - f20) * t_outer(v0)
+        + (f12 - f01) * t_outer(v1)
+        + (f20 - f12) * t_outer(v2)
+    )
+    return phi, n
+
+
+def t_flatten_stress(s):
+    """(3, 3, E) -> 6 lanes [00, 11, 22, 01, 12, 20]
+    (yield_fns.flatten_stress order)."""
+    return (s[0, 0], s[1, 1], s[2, 2], s[0, 1], s[1, 2], s[2, 0])
+
+
+def t_unflatten_stress(v):
+    r0 = jnp.stack([v[0], v[3], v[5]], 0)
+    r1 = jnp.stack([v[3], v[1], v[4]], 0)
+    r2 = jnp.stack([v[5], v[4], v[2]], 0)
+    return jnp.stack([r0, r1, r2], 0)
+
+
+def t_barlat_L_apply(p, s):
+    """Apply the Yld2004-18p linear transform (yield_fns.barlat_L) to a
+    flattened stress tuple; p = 9 per-lane coefficients."""
+    p01, p02, p10, p12, p20, p21, p33, p44, p55 = p
+    s0, s1, s2, s3, s4, s5 = s
+    o0 = ((p01 + p02) * s0 + (-2.0 * p01 + p02) * s1 + (p01 - 2.0 * p02) * s2) / 3.0
+    o1 = ((-2.0 * p10 + p12) * s0 + (p10 + p12) * s1 + (p10 - 2.0 * p12) * s2) / 3.0
+    o2 = ((-2.0 * p20 + p21) * s0 + (p20 - 2.0 * p21) * s1 + (p20 + p21) * s2) / 3.0
+    return (o0, o1, o2, p33 * s3, p44 * s4, p55 * s5)
+
+
+def t_barlat_phi_n(TC, sp, dp, a, eps=1e-30):
+    """Barlat Yld2004-18p effective stress + flow normal, trailing
+    layout (yield_fns.barlat_phi_and_normal twin; reference
+    yield_functions.hpp:104-330)."""
+    dev = t_dev3(TC)
+    vm = jnp.sqrt(1.5 * usum(usum(dev * dev, 0), 0) + eps)
+    flat = t_flatten_stress(TC)
+    sp_t = t_unflatten_stress(t_barlat_L_apply(sp, flat))
+    dp_t = t_unflatten_stress(t_barlat_L_apply(dp, flat))
+    s_lam, s_V = t_eig_sym33(sp_t)
+    d_lam, d_V = t_eig_sym33(dp_t)
+
+    total = None
+    for i in range(3):
+        for j in range(3):
+            dd = jnp.clip(s_lam[i] / vm - d_lam[j] / vm, -8.0, 8.0)
+            term = t_powa(dd, a)
+            total = term if total is None else total + term
+    total = 0.25 * total
+    phi = vm * jnp.exp(jnp.log(jnp.maximum(total, eps)) / a)
+
+    ps = jnp.maximum(phi, eps)
+    fac = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            dm = jnp.clip(s_lam[i] / ps - d_lam[j] / ps, -8.0, 8.0)
+            fac[i][j] = dm * t_powa(dm, a - 2.0)
+    sp_normal = None
+    dp_normal = None
+    for i in range(3):
+        smul = 0.25 * (fac[i][0] + fac[i][1] + fac[i][2])
+        dmul = -0.25 * (fac[0][i] + fac[1][i] + fac[2][i])
+        so = smul * t_outer(s_V[i])
+        do = dmul * t_outer(d_V[i])
+        sp_normal = so if sp_normal is None else sp_normal + so
+        dp_normal = do if dp_normal is None else dp_normal + do
+    out = tuple(
+        x + y
+        for x, y in zip(
+            t_barlat_L_apply(sp, t_flatten_stress(sp_normal)),
+            t_barlat_L_apply(dp, t_flatten_stress(dp_normal)),
+        )
+    )
+    return phi, t_unflatten_stress(out)
+
+
+class BatchedSmallHosford:
+    """Trailing-layout twin of SmallHosford (models/small_strain.py,
+    reference small_hosford.cpp:160-266): 3D Hosford yield on the
+    deviatoric stress, combined hardening Y + K a + S (1 - e^{-D a}),
+    f scaled by 2 mu.  Implicit kernel mode with the reference's
+    freeze-the-branch + local line search solve_nonlinear semantics.
+
+    xi (7, E): [pstrain voigt (6), alpha];
+    params (7, E): [E, nu, Y, a, K, S, D].
+    """
+
+    name = "small_hosford"
+    finite_deformation = False
+    analytic_solve = False
+    freeze_path = True
+    newton_iters = 30
+    block_e = 256  # eig under 7 tangent seeds: VMEM-heavy
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 3
+        self.nc = 6
+        self.nxi = 7
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _flow(self, alpha, parT):
+        Y, K, S, D = parT[2], parT[4], parT[5], parT[6]
+        return Y + K * alpha + S * (1.0 - jnp.exp(-D * alpha))
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        ps = t_voigt_to_sym(xiT[: self.nc], 3)
+        return 2.0 * mu * (t_dev3(t_sym(kinT.grad_u)) - ps)
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        return t_sub_diag(self.dev_cauchy(xiT, kinT, parT), pT)
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu = parT[0], parT[1]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        return kappa * t_trace(t_sym(kinT.grad_u))
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+    def _f_and_n(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        a = parT[3]
+        alpha = xiT[self.nc]
+        # the Hosford yield is pressure-insensitive through the eigen
+        # differences; evaluate on the deviator (small_strain.py
+        # cauchy_full NOTE)
+        s = self.dev_cauchy(xiT, kinT, parT)
+        phi, n = t_hosford_phi_n(s, s, a)
+        f = (phi - self._flow(alpha, parT)) / (2.0 * mu)
+        return f, n
+
+    def first_guess(self, xipT, kinT, parT):
+        return xipT
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        f, _ = self._f_and_n(xiT, kinT, parT)
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        ps = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        ps_old = t_voigt_to_sym(xipT[: self.nc], 3)
+        alpha_old = xipT[self.nc]
+        f, n = self._f_and_n(xiT, kinT, parT)
+        dgam = alpha - alpha_old
+        w = (path == 1).astype(xiT.dtype)
+        R_s = (ps - ps_old) - (w * dgam) * n
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_s, 3), R_a[None, :]], axis=0
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+
+class BatchedHypoHosford(BatchedHypoHill):
+    """Trailing-layout twin of HypoHosford (models/hypo.py, reference
+    hypo_hosford.cpp): Hosford yield on the unrotated stress TC, flow
+    Y + S (1 - e^{-D a}), residual scale 2 mu, freeze-the-branch +
+    line-search local solve.  Inherits the hypo kinematics
+    (precompute/residual_aux hoisting) from the Hill twin.
+
+    xi (7, E): [TC voigt (6), alpha];
+    params (7, E): [E, nu, Y, a, K, S, D]   (K unused, as in the
+    reference's flow rule).
+    """
+
+    name = "hypo_hosford"
+    freeze_path = True
+    newton_iters = 30
+    block_e = 128  # eig + polar intermediates under 7 tangent seeds
+
+    def _flow(self, alpha, parT):
+        Y, S, D = parT[2], parT[5], parT[6]
+        return Y + S * (1.0 - jnp.exp(-D * alpha))
+
+    def _f_and_n(self, xiT, parT):
+        mu = self._mu(parT)
+        a = parT[3]
+        TC = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        phi, n = t_hosford_phi_n(TC, t_dev3(TC), a)
+        f = (phi - self._flow(alpha, parT)) / (2.0 * mu)
+        return f, n
+
+    def residual_aux(self, xiT, xipT, d, parT, path):
+        mu = self._mu(parT)
+        scale = 2.0 * mu
+        TC = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 3)
+        alpha_old = xipT[self.nc]
+        R_TC = (TC - self._elastic_update(TC_old, d, parT)) / scale
+        f, n = self._f_and_n(xiT, parT)
+        dgam = alpha - alpha_old
+        w = (path == 1).astype(xiT.dtype)
+        # plastic: R_TC + dgam n (hypo_hosford.cpp residual; the 2 mu
+        # flow factor is absorbed by the scale)
+        R_out = R_TC + (w * dgam) * n
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_out, 3), R_a[None, :]], axis=0
+        )
+
+
+class BatchedHypoBarlat(BatchedHypoHill):
+    """Trailing-layout twin of HypoBarlat (models/hypo.py, reference
+    hypo_barlat.cpp — the costliest model in the reference, 617 LoC):
+    Barlat Yld2004-18p yield on TC (two linear transforms + two
+    eigendecompositions per evaluation), hardening
+    Y + K a + S (1 - e^{-D a}), residual scale 2 mu.
+
+    xi (7, E); params (25, E): [E, nu, Y, a, K, S, D, sp_* (9), dp_* (9)].
+    """
+
+    name = "hypo_barlat"
+    freeze_path = True
+    newton_iters = 30
+    block_e = 64  # two eigs + polar under 7 tangent seeds
+
+    def _flow(self, alpha, parT):
+        Y, K, S, D = parT[2], parT[4], parT[5], parT[6]
+        return Y + K * alpha + S * (1.0 - jnp.exp(-D * alpha))
+
+    def _f_and_n(self, xiT, parT):
+        mu = self._mu(parT)
+        a = parT[3]
+        TC = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        sp = tuple(parT[7 + k] for k in range(9))
+        dp = tuple(parT[16 + k] for k in range(9))
+        phi, n = t_barlat_phi_n(TC, sp, dp, a)
+        f = (phi - self._flow(alpha, parT)) / (2.0 * mu)
+        return f, n
+
+    def residual_aux(self, xiT, xipT, d, parT, path):
+        mu = self._mu(parT)
+        scale = 2.0 * mu
+        TC = t_voigt_to_sym(xiT[: self.nc], 3)
+        alpha = xiT[self.nc]
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 3)
+        alpha_old = xipT[self.nc]
+        R_TC = (TC - self._elastic_update(TC_old, d, parT)) / scale
+        f, n = self._f_and_n(xiT, parT)
+        dgam = alpha - alpha_old
+        w = (path == 1).astype(xiT.dtype)
+        R_out = R_TC + (w * dgam) * n
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_out, 3), R_a[None, :]], axis=0
+        )
+
+
 BATCHED_MODELS = {
+    "elastic": BatchedElastic,
     "small_J2": BatchedSmallJ2,
     "hyper_J2": BatchedHyperJ2,
     "small_hill": BatchedSmallHill,
     "hypo_hill": BatchedHypoHill,
     "small_hill_plane_stress": BatchedSmallHillPlaneStress,
     "small_hill_plane_strain": BatchedSmallHillPlaneStrain,
+    "small_hosford": BatchedSmallHosford,
+    "hypo_hosford": BatchedHypoHosford,
+    "hypo_barlat": BatchedHypoBarlat,
+    "hypo_hill_plane_strain": BatchedHypoHillPlaneStrain,
+    "hyper_J2_plane_strain": BatchedHyperJ2PlaneStrain,
 }
 
 

@@ -23,6 +23,14 @@ HILL2D = {**VOCE, "R00": 1.0, "R11": 1.1, "R22": 0.95, "R01": 1.05}
 
 CASES = [
     (
+        "elastic",
+        {"type": "cube", "n": 2},
+        "elastic",
+        {"E": 1000.0, "nu": 0.25, "cte": 1e-5, "delta_T": 10.0},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
         "small_J2",
         {"type": "cube", "n": 2},
         "small_J2",
@@ -55,6 +63,39 @@ CASES = [
         "mechanics",
     ),
     (
+        "small_hosford",
+        {"type": "cube", "n": 2},
+        "small_hosford",
+        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "a": 8.0, "K": 50.0,
+         "S": 5.0, "D": 2.0},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
+        "hypo_hosford",
+        {"type": "cube", "n": 2},
+        "hypo_hosford",
+        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "a": 8.0, "K": 0.0,
+         "S": 5.0, "D": 2.0},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
+        "hypo_barlat",
+        {"type": "cube", "n": 2},
+        "hypo_barlat",
+        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "a": 8.0, "K": 50.0,
+         "S": 5.0, "D": 2.0,
+         "sp_01": 1.0, "sp_02": 1.05, "sp_10": 0.95, "sp_12": 1.1,
+         "sp_20": 0.9, "sp_21": 1.02, "sp_33": 1.04, "sp_44": 0.97,
+         "sp_55": 1.06,
+         "dp_01": 0.98, "dp_02": 1.03, "dp_10": 1.07, "dp_12": 0.92,
+         "dp_20": 1.01, "dp_21": 0.96, "dp_33": 1.08, "dp_44": 1.02,
+         "dp_55": 0.94},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
         "small_hill_plane_stress",
         {"type": "notch2D", "h": 0.3},
         "small_hill_plane_stress",
@@ -67,6 +108,23 @@ CASES = [
         {"type": "notch2D", "h": 0.3},
         "small_hill_plane_strain",
         HILL2D,
+        BCS_2D(0.01),
+        "mechanics",
+    ),
+    (
+        "hypo_hill_plane_strain",
+        {"type": "notch2D", "h": 0.3},
+        "hypo_hill_plane_strain",
+        HILL2D,
+        BCS_2D(0.01),
+        "mechanics",
+    ),
+    (
+        "hyper_J2_plane_strain",
+        {"type": "notch2D", "h": 0.3},
+        "hyper_J2_plane_strain",
+        {"E": 1000.0, "nu": 0.25, "K": 50.0, "Y": 10.0, "Y_inf": 15.0,
+         "delta": 2.0},
         BCS_2D(0.01),
         "mechanics",
     ),
@@ -104,6 +162,7 @@ FAST = {"small_J2", "small_hill_plane_stress", "small_hill_plane_strain"}
     [c for c in CASES if c[0] in FAST],
     ids=[c[0] for c in CASES if c[0] in FAST],
 )
+@pytest.mark.smoke
 def test_pallas_twin_matches_generic(name, mesh, model, mats, bcs, gtype):
     _run_twin_case(name, mesh, model, mats, bcs, gtype)
 
@@ -126,11 +185,12 @@ def _run_twin_case(name, mesh, model, mats, bcs, gtype):
 
     x, x_prev, xi_prev = _state(prob, 0.02)
     loc = a.local_solve(x, x_prev, xi_prev, prob.params0)
-    # the state must exercise BOTH branches
+    # the state must exercise BOTH branches (pathless models excepted)
     paths = np.asarray(loc.path)
-    assert paths.min() == 0 and paths.max() == 1, (
-        f"{name}: single-branch state (paths {np.unique(paths)})"
-    )
+    if getattr(a.model, "uses_path", True):
+        assert paths.min() == 0 and paths.max() == 1, (
+            f"{name}: single-branch state (paths {np.unique(paths)})"
+        )
     R0, J_e0, diag0 = a.residual_and_jacobian(
         x, x_prev, loc.xi, xi_prev, loc.path, prob.params0
     )
