@@ -44,8 +44,215 @@ _TYPE_DIM = [0, 1, 2, 2, 3, 3, 3, 3]
 _SERIAL_LINEAR_TRAILER = b"Linear\x00" + struct.pack(">i", -3) + b"\x00" * 8
 
 
+def _parse_part(data):
+    """Raw sections of ONE smb part file: header, downward
+    connectivity, coords, classification, and (parallel parts) the
+    vertex remote-link block.  Format notes: a `flag` of 1 after the
+    node params marks a links block `[peer, count, local vertex ids]`
+    whose order MATCHES the peer part's block positionally (verified
+    byte-level against test/mesh/notch/notch_2p{0,1}.smb — shared
+    vertices coincide exactly under positional pairing)."""
+    off = 0
+
+    def ints(n):
+        nonlocal off
+        v = np.frombuffer(data, dtype=">i4", count=n, offset=off)
+        off += 4 * n
+        return v.astype(np.int64)
+
+    def doubles(n):
+        nonlocal off
+        v = np.frombuffer(data, dtype=">f8", count=n, offset=off)
+        off += 8 * n
+        return np.asarray(v)
+
+    magic, version, dim, n_parts = ints(4)
+    assert magic == 0, f"not an smb file: magic {magic}"
+    counts = ints(8)
+    nv = int(counts[0])
+    conn = {}
+    for t in range(1, 8):
+        c = int(counts[t])
+        if c == 0:
+            continue
+        deg = _TYPE_DOWN_DEGREE[t]
+        assert deg > 0, f"unsupported entity type {t}"
+        conn[t] = ints(c * deg).reshape(c, deg)
+    coords = doubles(nv * 3).reshape(nv, 3)
+    doubles(nv * 2)  # params
+    (flag,) = ints(1)
+    links = None
+    if flag == 1:
+        peer, n = ints(2)
+        links = (int(peer), ints(int(n)))
+    classification = {}
+    for t in [0, 1, 2, 3, 7]:
+        c = int(counts[t])
+        if c == 0:
+            continue
+        pairs = ints(2 * c).reshape(c, 2)
+        classification[t] = pairs[:, ::-1]  # [:, 0] = dim, [:, 1] = tag
+    return dict(
+        dim=int(dim),
+        n_parts=int(n_parts),
+        conn=conn,
+        coords=coords,
+        classification=classification,
+        links=links,
+    )
+
+
+def _tri_to_verts(edges, tri_edge_ids):
+    e0 = edges[tri_edge_ids[:, 0]]
+    e1 = edges[tri_edge_ids[:, 1]]
+    v0 = e0[:, 0]
+    v1 = e0[:, 1]
+    v2 = np.where((e1[:, 0] == v0) | (e1[:, 0] == v1), e1[:, 1], e1[:, 0])
+    return np.stack([v0, v1, v2], axis=1)
+
+
+def _elem_conn_of_part(raw):
+    """Cell -> vertex connectivity of one parsed part."""
+    conn = raw["conn"]
+    edges = conn.get(1)
+    tri_edges = conn.get(2)
+    tet_tris = conn.get(7)
+    if raw["dim"] == 2:
+        return _tri_to_verts(edges, tri_edges), None
+    tri_verts = _tri_to_verts(edges, tri_edges)
+    f0 = tri_verts[tet_tris[:, 0]]
+    f1 = tri_verts[tet_tris[:, 1]]
+    v3 = np.full(len(tet_tris), -1, dtype=np.int64)
+    for k in range(3):
+        cand = f1[:, k]
+        new = (cand != f0[:, 0]) & (cand != f0[:, 1]) & (cand != f0[:, 2])
+        v3 = np.where((v3 < 0) & new, cand, v3)
+    assert np.all(v3 >= 0)
+    return np.concatenate([f0, v3[:, None]], axis=1), tri_verts
+
+
+def read_smb_multipart(paths, assoc_file=None) -> Mesh:
+    """Merge a pre-partitioned PUMI mesh (`name<rank>.smb` part files)
+    into ONE serial Mesh: shared vertices unified via the per-part
+    remote-link blocks (positional pairing), cells concatenated (each
+    cell is owned by exactly one part).  The reference's own
+    calibration data ships such meshes (test/mesh/notch/notch_2p*.smb);
+    the rebuild repartitions with RCB afterwards
+    (parallel/partition.py), so the merge only has to be correct, not
+    parallel."""
+    raws = [_parse_part(open(p, "rb").read()) for p in paths]
+    assert len(raws) == 2, "only 2-part meshes observed in the data sets"
+    dim = raws[0]["dim"]
+
+    nv0 = raws[0]["coords"].shape[0]
+    nv1 = raws[1]["coords"].shape[0]
+    l0 = raws[0]["links"]
+    l1 = raws[1]["links"]
+    assert l0 is not None and l1 is not None
+    assert l0[0] == 1 and l1[0] == 0 and len(l0[1]) == len(l1[1])
+    # part-0 vertices keep their ids; part-1 shared vertices map onto
+    # their part-0 copies, the rest get fresh ids
+    gid1 = np.full(nv1, -1, dtype=np.int64)
+    gid1[l1[1]] = l0[1]
+    fresh = gid1 < 0
+    gid1[fresh] = nv0 + np.arange(int(fresh.sum()))
+    coords = np.concatenate(
+        [raws[0]["coords"], raws[1]["coords"][fresh]], axis=0
+    )
+
+    ec0, tv0 = _elem_conn_of_part(raws[0])
+    ec1, tv1 = _elem_conn_of_part(raws[1])
+    elem_conn = np.concatenate([ec0, gid1[ec1]], axis=0)
+    elem_type = 2 if dim == 2 else 7
+
+    # positive orientation
+    pts = coords[:, :dim][elem_conn]
+    det = np.linalg.det(pts[:, 1:] - pts[:, :1])
+    flip = det < 0
+    elem_conn[flip, 1], elem_conn[flip, 2] = (
+        elem_conn[flip, 2].copy(),
+        elem_conn[flip, 1].copy(),
+    )
+
+    # merged classification: verts by global id (shared verts carry the
+    # same model class on both parts), facet/edge arrays remapped
+    cls0, cls1 = raws[0]["classification"], raws[1]["classification"]
+    n_nodes = coords.shape[0]
+    v_cls = np.zeros((n_nodes, 2), dtype=np.int64)
+    v_cls[: nv0] = cls0[0]
+    v_cls[gid1] = cls1[0]
+    v_cls[: nv0] = cls0[0]  # part-0 class wins on shared vertices
+    e_cls = np.concatenate([cls0[elem_type], cls1[elem_type]], axis=0)
+
+    edges_g = np.concatenate(
+        [raws[0]["conn"][1], gid1[raws[1]["conn"][1]]], axis=0
+    )
+    edge_cls = np.concatenate([cls0[1], cls1[1]], axis=0)
+    if dim == 3:
+        tris_g = np.concatenate([tv0, gid1[tv1]], axis=0)
+        tri_cls = np.concatenate([cls0[2], cls1[2]], axis=0)
+    else:
+        tris_g = tri_cls = None
+
+    elem_sets, node_sets, side_sets = {}, {}, {}
+    if assoc_file:
+        sets = parse_assoc(assoc_file)
+        for name, ents in sets["elem"]:
+            mask = np.zeros(len(elem_conn), dtype=bool)
+            for (d, t) in ents:
+                mask |= (e_cls[:, 0] == d) & (e_cls[:, 1] == t)
+            elem_sets[name] = np.where(mask)[0]
+        for name, ents in sets["node"]:
+            nodes = set()
+            for (d, t) in ents:
+                on = (v_cls[:, 0] == d) & (v_cls[:, 1] == t)
+                nodes.update(np.where(on)[0].tolist())
+                if d >= 1:
+                    sel = (edge_cls[:, 0] == d) & (edge_cls[:, 1] == t)
+                    nodes.update(edges_g[sel].reshape(-1).tolist())
+                if d >= 2 and tris_g is not None:
+                    sel = (tri_cls[:, 0] == d) & (tri_cls[:, 1] == t)
+                    nodes.update(tris_g[sel].reshape(-1).tolist())
+            node_sets[name] = np.asarray(sorted(nodes), dtype=np.int64)
+        lf = local_facets(dim)
+        facet_owner = {}
+        for e in range(elem_conn.shape[0]):
+            for fidx in range(lf.shape[0]):
+                key = tuple(sorted(elem_conn[e, lf[fidx]].tolist()))
+                facet_owner[key] = (
+                    None if key in facet_owner else (e, fidx)
+                )
+        facet_verts = edges_g if dim == 2 else tris_g
+        f_cls = edge_cls if dim == 2 else tri_cls
+        for name, ents in sets["side"]:
+            out = []
+            for (d, t) in ents:
+                sel = (f_cls[:, 0] == d) & (f_cls[:, 1] == t)
+                for row in facet_verts[sel]:
+                    key = tuple(sorted(row.tolist()))
+                    owner = facet_owner.get(key)
+                    if owner is not None:
+                        out.append(owner)
+            side_sets[name] = (
+                np.asarray(sorted(set(out)), dtype=np.int64).reshape(-1, 2)
+            )
+    else:
+        elem_sets["body"] = np.arange(elem_conn.shape[0])
+
+    return Mesh(
+        dim=dim,
+        coords=coords[:, :dim],
+        conn=elem_conn,
+        elem_sets=elem_sets,
+        node_sets=node_sets,
+        side_sets=side_sets,
+        fields={},
+    )
+
+
 def read_smb(path, assoc_file=None) -> Mesh:
     import os
+    import re
 
     # PUMI path convention: `name.smb` names a parallel mesh whose
     # part files are `name<rank>.smb`; a serial load opens part 0
@@ -55,6 +262,17 @@ def read_smb(path, assoc_file=None) -> Mesh:
         if os.path.exists(alt):
             path = alt
     data = open(path, "rb").read()
+
+    # a part file whose header says n_parts > 1 -> merge all parts
+    n_parts = int(np.frombuffer(data, dtype=">i4", count=4)[3])
+    if n_parts > 1:
+        mm = re.match(r"^(.*?)(\d+)\.smb$", str(path))
+        assert mm, f"multi-part mesh needs name<rank>.smb paths: {path}"
+        base = mm.group(1)
+        paths = [f"{base}{i}.smb" for i in range(n_parts)]
+        for p in paths:
+            assert os.path.exists(p), f"missing part file {p}"
+        return read_smb_multipart(paths, assoc_file)
     off = 0
 
     def ints(n):
