@@ -53,13 +53,9 @@ def supports_pallas(assembler) -> bool:
         # interpret-mode tests are unaffected.
         return False
     if getattr(bm, "plane_stress", False):
-        # displacement-only plane-stress kernel path (finite-deformation
-        # plane stress — z-stretch pullback — stays on the XLA path)
-        return (
-            spec.plane_stress
-            and not spec.mixed
-            and not bm.finite_deformation
-        )
+        # displacement-only plane-stress kernel path; finite-deformation
+        # twins carry the z-stretch local variable for the PK1 pullback
+        return spec.plane_stress and not spec.mixed
     return spec.mixed and not spec.plane_stress
 
 
@@ -273,6 +269,13 @@ def make_pallas_assemble(assembler, block_e: int | None = None, interpret: bool 
             kin_ = Kin(grad_u=gu_, grad_u_prev=gu_prev)
             sigma = bmodel.cauchy(xi_, kin_, parT, p_ip)
             if not mixed:
+                if finite:
+                    # PK1 = z_stretch * sigma * cof(F) (the finite-
+                    # deformation plane-stress pullback,
+                    # mechanics_plane_stress.cpp:66-84 /
+                    # mechanics/global_residual.py:145-154)
+                    zs = xi_[bmodel.z_stretch_idx]
+                    sigma = zs * t_mm(sigma, t_cof(t_F(gu_)))
                 rows = []
                 for n in range(npe):
                     for i in range(d):

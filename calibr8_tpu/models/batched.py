@@ -1287,6 +1287,280 @@ class BatchedHyperJ2PlaneStrain:
         return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
 
 
+class BatchedHypoHillPlaneStress(BatchedHypoHillPlaneStrain):
+    """Trailing-layout twin of HypoHillPlaneStress (models/hypo.py,
+    reference hypo_hill_plane_stress.cpp): displacement plane stress
+    with a material-orientation rotation Q in the rate and the rotated
+    stress, and the out-of-plane stretch lambda_z evolving as
+    lambda_z = lambda_z_old / (1 - (d_zz + corr)).
+
+    xi (5, E): [TC voigt (3), alpha, lambda_z];
+    params (13, E): [E, nu, Y, S, D, R00, R11, R22, R01, Q00, Q01,
+    Q10, Q11].
+    """
+
+    name = "hypo_hill_plane_stress"
+    plane_stress = True
+    z_stretch_idx = 4
+    newton_iters = 20
+    block_e = 256
+
+    def _Q(self, parT):
+        r0 = jnp.stack([parT[9], parT[10]], 0)
+        r1 = jnp.stack([parT[11], parT[12]], 0)
+        return jnp.stack([r0, r1], 0)
+
+    def precompute(self, kinT, parT):
+        dQ, _ = t_unrotated_rate(kinT)
+        Q = self._Q(parT)
+        return t_mm(t_mm(t_transpose(Q), dQ), Q)
+
+    def first_guess(self, xipT, kinT, parT):
+        lam, mu = self._lam(parT), self._mu(parT)
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        d = self.precompute(kinT, parT)
+        d_zz = -lam * t_trace(d) / (lam + 2.0 * mu)
+        TC = t_add_diag(
+            TC_old + 2.0 * mu * d, lam * (t_trace(d) + d_zz)
+        )
+        lam_z = xipT[self.nc + 1] / (1.0 - d_zz)
+        return jnp.concatenate(
+            [t_sym_to_voigt(TC, 2), xipT[self.nc][None, :], lam_z[None, :]],
+            axis=0,
+        )
+
+    def _f_and_n2(self, xiT, parT):
+        mu = self._mu(parT)
+        TC = t_voigt_to_sym(xiT[: self.nc], 2)
+        alpha = xiT[self.nc]
+        TC3 = t_insert2_zz(TC, jnp.zeros_like(alpha))
+        hp = t_hill_params_2d(parT, 5)
+        hval = t_hill_value(TC3, hp)
+        f = (hval - self._voce(alpha, parT)) / mu
+        n3 = t_hill_normal(TC3, hp, hval)
+        n0 = jnp.stack([n3[0, 0], n3[0, 1]], 0)
+        n1 = jnp.stack([n3[1, 0], n3[1, 1]], 0)
+        return f, jnp.stack([n0, n1], 0)
+
+    def residual_aux(self, xiT, xipT, d, parT, path):
+        lam, mu = self._lam(parT), self._mu(parT)
+        TC = t_voigt_to_sym(xiT[: self.nc], 2)
+        alpha = xiT[self.nc]
+        lam_z = xiT[self.nc + 1]
+        TC_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        alpha_old = xipT[self.nc]
+        lam_z_old = xipT[self.nc + 1]
+        d_zz = -lam * t_trace(d) / (lam + 2.0 * mu)
+        R_TC = t_sub_diag(
+            TC - TC_old - 2.0 * mu * d, lam * (t_trace(d) + d_zz)
+        )
+        f, n2 = self._f_and_n2(xiT, parT)
+        dgam = alpha - alpha_old
+        dp2 = dgam * n2
+        dp_zz = -t_trace(dp2)
+        corr = 2.0 * mu * dp_zz / (2.0 * mu + lam)
+        w = (path == 1).astype(xiT.dtype)
+        # plastic in-plane: += 2 mu dp2 - lam corr on the diagonal; the
+        # whole row then / mu (hypo_hill_plane_stress.cpp:325)
+        R_p = t_sub_diag(R_TC + 2.0 * mu * dp2, lam * corr) / mu
+        R_TC_out = w * R_p + (1.0 - w) * R_TC
+        R_lam_p = lam_z - lam_z_old / (1.0 - (d_zz + corr))
+        R_lam_e = lam_z - lam_z_old / (1.0 - d_zz)
+        R_lam = w * R_lam_p + (1.0 - w) * R_lam_e
+        R_a = w * f + (1.0 - w) * (alpha - alpha_old)
+        return jnp.concatenate(
+            [t_sym_to_voigt(R_TC_out, 2), R_a[None, :], R_lam[None, :]],
+            axis=0,
+        )
+
+    # stress measures: RC = R Q TC Q^T R^T
+    # (hypo_hill_plane_stress.cpp rotated_cauchy)
+    def cauchy(self, xiT, kinT, parT, pT=None):
+        TC = t_voigt_to_sym(xiT[: self.nc], 2)
+        R = t_polar(t_F(kinT.grad_u))
+        Q = self._Q(parT)
+        RQ = t_mm(R, Q)
+        return t_mm(t_mm(RQ, TC), t_transpose(RQ))
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        return t_trace(self.cauchy(xiT, kinT, parT)) / 3.0
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        c = self.cauchy(xiT, kinT, parT)
+        return t_sub_diag(c, self.hydro_cauchy(xiT, kinT, parT))
+
+    def pressure_scale_factor(self, parT):
+        return jnp.zeros_like(parT[0])
+
+
+class BatchedHyperJ2PlaneStress:
+    """Trailing-layout twin of HyperJ2PlaneStress (models/hyper_j2.py,
+    reference hyper_J2_plane_stress.cpp): the out-of-plane stretch
+    lambda_z is a local variable enforcing sigma_zz = 0; displacement
+    plane-stress kernel path with the z-stretch PK1 pullback.
+
+    xi (6, E): [zeta voigt (3), Ie, lambda_z, alpha];
+    params (8, E): [E, nu, Y, S, D, A, n, K].
+    """
+
+    name = "hyper_J2_plane_stress"
+    finite_deformation = True
+    analytic_solve = False
+    plane_stress = True
+    z_stretch_idx = 4
+    newton_iters = 20
+    block_e = 256
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        assert self.dim == 2
+        self.nc = 3
+        self.nxi = 6
+        self.abs_tol = model.abs_tol
+
+    def _mu(self, parT):
+        return parT[0] / (2.0 * (1.0 + parT[1]))
+
+    def _kappa(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+    def _sigma_yield(self, alpha, parT):
+        Y, S, D, A, n, K = (parT[i] for i in range(2, 8))
+        return (
+            Y
+            + S * (1.0 - jnp.exp(-D * alpha))
+            + A * (alpha + 1e-12) ** n
+            + K * alpha
+        )
+
+    def _embed_F3(self, F2, zz):
+        return t_insert2_zz(F2, zz)
+
+    def _be_bar_3d(self, xipT, kinT, lam_z):
+        """(hyper_J2_plane_stress.cpp eval_be_bar_plane_stress) with
+        the CURRENT lambda_z in F3 and the previous one in Fp3."""
+        zeta_old = t_voigt_to_sym(xipT[: self.nc], 2)
+        Ie_old = xipT[self.nc]
+        lam_z_old = xipT[self.nc + 1]
+        F3 = self._embed_F3(t_F(kinT.grad_u), lam_z)
+        Fp3 = self._embed_F3(t_F(kinT.grad_u_prev), lam_z_old)
+        rF = t_mm(F3, t_inv(Fp3))
+        rF_bar = rF * jnp.exp(-jnp.log(t_det(rF)) / 3.0)
+        zeta3 = t_insert2_zz(zeta_old, -t_trace(zeta_old))
+        return t_mm(
+            t_mm(rF_bar, t_add_diag(zeta3, Ie_old)), t_transpose(rF_bar)
+        )
+
+    def first_guess(self, xipT, kinT, parT):
+        lam_z_old = xipT[self.nc + 1]
+        be3 = self._be_bar_3d(xipT, kinT, lam_z_old)
+        Ie_tr = t_trace(be3) / 3.0
+        z0 = jnp.stack([be3[0, 0] - Ie_tr, be3[0, 1]], 0)
+        z1 = jnp.stack([be3[1, 0], be3[1, 1] - Ie_tr], 0)
+        zeta_tr = jnp.stack([z0, z1], 0)
+        return jnp.concatenate(
+            [
+                t_sym_to_voigt(zeta_tr, 2),
+                Ie_tr[None, :],
+                lam_z_old[None, :],
+                xipT[self.nc + 2][None, :],
+            ],
+            axis=0,
+        )
+
+    def _zeta3(self, xiT):
+        zeta = t_voigt_to_sym(xiT[: self.nc], 2)
+        return t_insert2_zz(zeta, -t_trace(zeta))
+
+    def pathfn(self, xiT, xipT, kinT, parT):
+        mu = self._mu(parT)
+        alpha = xiT[self.nc + 2]
+        s_mag = t_norm(mu * self._zeta3(xiT))
+        f = (s_mag - SQRT_23 * self._sigma_yield(alpha, parT)) / mu
+        return (f >= -self.abs_tol).astype(jnp.int32)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        mu = self._mu(parT)
+        kappa = self._kappa(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 2)
+        Ie = xiT[self.nc]
+        lam_z = xiT[self.nc + 1]
+        alpha = xiT[self.nc + 2]
+        alpha_old = xipT[self.nc + 2]
+
+        J_2D = t_det(t_F(kinT.grad_u))
+        be3_tr = self._be_bar_3d(xipT, kinT, lam_z)
+        Ie_tr = t_trace(be3_tr) / 3.0
+        z0 = jnp.stack([be3_tr[0, 0] - Ie_tr, be3_tr[0, 1]], 0)
+        z1 = jnp.stack([be3_tr[1, 0], be3_tr[1, 1] - Ie_tr], 0)
+        zeta_tr = jnp.stack([z0, z1], 0)
+
+        zeta_zz = -t_trace(zeta)
+        zeta3 = t_insert2_zz(zeta, zeta_zz)
+        s_mag = t_norm(mu * zeta3)
+        f = (s_mag - SQRT_23 * self._sigma_yield(alpha, parT)) / mu
+
+        mat_factor = kappa / (2.0 * mu)
+        R_lam = lam_z - jnp.sqrt(
+            jnp.maximum(
+                (1.0 - zeta_zz / mat_factor) / (J_2D * J_2D), 1e-30
+            )
+        )
+
+        n2 = (mu / s_mag) * zeta
+        dgam = SQRT_32 * (alpha - alpha_old)
+        R_z_p = zeta - zeta_tr + (2.0 * dgam * Ie) * n2
+        R_Ie_p = t_det(t_add_diag(zeta3, Ie)) - 1.0
+        R_a_p = f
+
+        R_z_e = zeta - zeta_tr
+        R_Ie_e = Ie - Ie_tr
+        R_a_e = alpha - alpha_old
+
+        w = (path == 1).astype(xiT.dtype)
+        R_z = w * R_z_p + (1.0 - w) * R_z_e
+        R_Ie = w * R_Ie_p + (1.0 - w) * R_Ie_e
+        R_a = w * R_a_p + (1.0 - w) * R_a_e
+        return jnp.concatenate(
+            [
+                t_sym_to_voigt(R_z, 2),
+                R_Ie[None, :],
+                R_lam[None, :],
+                R_a[None, :],
+            ],
+            axis=0,
+        )
+
+    def local_solve(self, xipT, kinT, parT, rows_io=None):
+        return _implicit_newton(self, xipT, kinT, parT, rows_io)
+
+    # stress measures ----------------------------------------------------
+    def cauchy(self, xiT, kinT, parT, pT=None):
+        mu = self._mu(parT)
+        kappa = self._kappa(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 2)
+        lam_z = xiT[self.nc + 1]
+        J = t_det(t_F(kinT.grad_u)) * lam_z
+        return t_add_diag((mu / J) * zeta, 0.5 * kappa * (J - 1.0 / J))
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        mu = self._mu(parT)
+        zeta = t_voigt_to_sym(xiT[: self.nc], 2)
+        lam_z = xiT[self.nc + 1]
+        J = t_det(t_F(kinT.grad_u)) * lam_z
+        return (mu / J) * zeta
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        kappa = self._kappa(parT)
+        lam_z = xiT[self.nc + 1]
+        J = t_det(t_F(kinT.grad_u)) * lam_z
+        return 0.5 * kappa * (J - 1.0 / J)
+
+    def pressure_scale_factor(self, parT):
+        return jnp.zeros_like(parT[0])
+
+
 # -- eigensolver yield surfaces (Hosford / Barlat) ----------------------
 #
 # Trailing-layout twins of models/yield_fns.py: the closed-form
@@ -1657,6 +1931,8 @@ BATCHED_MODELS = {
     "hypo_barlat": BatchedHypoBarlat,
     "hypo_hill_plane_strain": BatchedHypoHillPlaneStrain,
     "hyper_J2_plane_strain": BatchedHyperJ2PlaneStrain,
+    "hyper_J2_plane_stress": BatchedHyperJ2PlaneStress,
+    "hypo_hill_plane_stress": BatchedHypoHillPlaneStress,
 }
 
 

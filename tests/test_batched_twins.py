@@ -128,6 +128,24 @@ CASES = [
         BCS_2D(0.01),
         "mechanics",
     ),
+    (
+        "hyper_J2_plane_stress",
+        {"type": "notch2D", "h": 0.3},
+        "hyper_J2_plane_stress",
+        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "S": 5.0, "D": 2.0,
+         "A": 0.0, "n": 0.0, "K": 50.0},
+        BCS_2D(0.01),
+        "mechanics_plane_stress",
+    ),
+    (
+        "hypo_hill_plane_stress",
+        {"type": "notch2D", "h": 0.3},
+        "hypo_hill_plane_stress",
+        {**HILL2D, "Q00": 0.8660254037844387, "Q01": -0.5,
+         "Q10": 0.5, "Q11": 0.8660254037844387},
+        BCS_2D(0.01),
+        "mechanics_plane_stress",
+    ),
 ]
 
 
