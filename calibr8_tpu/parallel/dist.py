@@ -99,6 +99,21 @@ class DistContext:
 
         self._build_kernels()
 
+        # distributed AMG preconditioner when the deck asked for a
+        # multigrid hierarchy (parallel/dist_mg.py; primal solves only
+        # — the adjoint keeps the transposed one-level block precond)
+        self._mg = None
+        if getattr(prob, "mg_factory", None) is not None:
+            from calibr8_tpu.parallel.dist_mg import DistAMG
+            from calibr8_tpu.solve.amg import AMGPrecondFactory
+
+            f = (
+                prob.mg_factory
+                if isinstance(prob.mg_factory, AMGPrecondFactory)
+                else None
+            )
+            self._mg = DistAMG(self, f)
+
     # -- layout converters (host side) ----------------------------------
     def to_dist(self, x):
         """Flat (n_dofs,) -> sharded (P, N_own, ndpn)."""
@@ -356,6 +371,42 @@ class DistContext:
             y_own = scatter_add(y_loc, send, recv)
             return y_own[None]
 
+        # Pallas per-part ELL apply (TPU): the einsum above lowers to
+        # batched small matmuls; the solve/ellpack.py block kernel runs
+        # the same contraction as lane-aligned rank-1 FMAs with the
+        # LOCAL NODE axis on the 128 lanes (measured ~3x faster per
+        # Krylov iteration single-chip).  The assembled blocks arrive
+        # pre-transposed (K, ndpn, ndpn, N_pad) once per Jacobian.
+        self.N_pad_ell = -(-N_loc // 128) * 128
+
+        @partial(sm, in_specs=(pp, pp, pp, pp, pp), out_specs=pp)
+        def ell_matvec_T_sm(A_T, v_own, nbr, send, recv):
+            from jax import custom_derivatives as _cd
+
+            from calibr8_tpu.solve import ellpack as _ellpack
+
+            A_T, nbr = A_T[0], nbr[0]  # (K, ndpn, ndpn, N_pad), (N_loc, K)
+            send, recv = send[0], recv[0]
+            x_loc = gather(v_own[0], send, recv)
+            xp = jnp.concatenate(
+                [x_loc, jnp.zeros((1, ndpn), x_loc.dtype)], axis=0
+            )
+            G = xp[nbr]  # (N_loc, K, ndpn)
+            N_pad = self.N_pad_ell
+            G_T = jnp.moveaxis(G, 0, -1)  # (K, ndpn, N_loc)
+            G_T = jnp.pad(G_T, ((0, 0), (0, 0), (0, N_pad - N_loc)))
+            blk = _ellpack._pick_block(N_pad) or 128
+            fwd = _ellpack._make_kernel(K_ell, ndpn, N_pad, G_T.dtype, blk)
+            bwd = _ellpack._make_kernel(
+                K_ell, ndpn, N_pad, G_T.dtype, blk, transpose=True
+            )
+            Y_T = _cd.linear_call(
+                lambda a, g: fwd(a, g), lambda a, ct: bwd(a, ct), A_T, G_T
+            )  # (ndpn, N_pad)
+            y_loc = Y_T[:, :N_loc].T
+            y_own = scatter_add(y_loc, send, recv)
+            return y_own[None]
+
         adjoint_blocks = assembler.make_adjoint_blocks_kernel()
 
         @partial(
@@ -389,6 +440,13 @@ class DistContext:
             )
             return {k: v[None] for k, v in B.items()}
 
+        @partial(sm, in_specs=(pp, pp), out_specs=pp)
+        def halo_gather_sm(v_own, send_recv):
+            send, recv = send_recv[0, 0], send_recv[0, 1]
+            return gather(v_own[0], send, recv)[None]
+
+        self._halo_gather_sm = halo_gather_sm
+
         @partial(sm, in_specs=(pp, pp, pp), out_specs=pp)
         def gather_elem_sm(v_own, conn, send_recv):
             send, recv = send_recv[0, 0], send_recv[0, 1]
@@ -405,6 +463,13 @@ class DistContext:
         self._matvec_sm = matvec_sm
         self._ell_assemble_sm = ell_assemble_sm
         self._ell_matvec_sm = ell_matvec_sm
+        self._ell_matvec_T_sm = ell_matvec_T_sm
+        # per-part halo helpers, reusable by other shard_map kernels on
+        # this mesh (parallel/dist_mg.py builds its Galerkin sums here)
+        self._gather_local = gather
+        self._scatter_add_local = scatter_add
+        self._sm = sm
+        self._pp = pp
         self._node_blocks_sm = node_blocks_sm
         self._blocks_sm = blocks_sm
         self._gather_elem_sm = gather_elem_sm
@@ -441,6 +506,25 @@ class DistContext:
             A_ell, Vd, self.nbr_local, self.send, self.recv
         )
 
+    def ell_trailing(self, A_ell):
+        """(P, N_loc*K+1, ndpn^2) row-layout ELL blocks -> padded
+        trailing layout (P, K, ndpn, ndpn, N_pad) for the Pallas apply;
+        one transpose per Jacobian, amortized over ~10^2 matvecs.
+        Per-part op on the sharded batch axis — no collectives."""
+        P_, N_loc, K = A_ell.shape[0], self.part.N_loc, self.part.K_ell
+        ndpn = self.ndpn
+        Ab = A_ell[:, : N_loc * K].reshape(P_, N_loc, K, ndpn, ndpn)
+        A_T = jnp.moveaxis(Ab, 1, -1)  # (P, K, ndpn, ndpn, N_loc)
+        return jnp.pad(
+            A_T,
+            ((0, 0), (0, 0), (0, 0), (0, 0), (0, self.N_pad_ell - N_loc)),
+        )
+
+    def ell_matvec_T(self, A_T, Vd):
+        return self._ell_matvec_T_sm(
+            A_T, Vd, self.nbr_local, self.send, self.recv
+        )
+
     def node_blocks(self, J_T):
         return self._node_blocks_sm(J_T, self.conn, self.send, self.recv)
 
@@ -451,6 +535,11 @@ class DistContext:
             Xd, XPd, xi, xi_prev, path, params,
             self.conn, self.gN, self.detJ, self.h, self.es, self._send_recv,
         )
+
+    def halo_gather(self, Vd):
+        """Sharded owned-node values (P, N_own, c) -> local-with-ghost
+        values (P, N_loc, c) via the all_to_all Import."""
+        return self._halo_gather_sm(Vd, self._send_recv)
 
     def gather_elem(self, Vd):
         """Sharded DOFs -> sharded element dof values (P, E, nde)."""
@@ -528,12 +617,22 @@ class DistContext:
         if cfg.operator != "ebe":
             # assembled per-part ELL apply: built once per solve (jit
             # hoists it out of the Krylov loop), scatter-free per
-            # iteration (solve/ellpack.py rationale, sharded form)
+            # iteration (solve/ellpack.py rationale, sharded form).  On
+            # TPU the apply runs the Pallas block kernel over a
+            # once-per-Jacobian trailing transpose of the blocks.
             A_ell = self.ell_assemble(J_T)
+            if jax.default_backend() == "tpu":
+                A_T = self.ell_trailing(A_ell)
 
-            def op(v):
-                out = self.ell_matvec(A_ell, v)
-                return jnp.where(bc_mask, diag * v, out)
+                def op(v):
+                    out = self.ell_matvec_T(A_T, v)
+                    return jnp.where(bc_mask, diag * v, out)
+
+            else:
+
+                def op(v):
+                    out = self.ell_matvec(A_ell, v)
+                    return jnp.where(bc_mask, diag * v, out)
 
         else:
 
@@ -541,7 +640,10 @@ class DistContext:
                 out = self.matvec(J_T, v)
                 return jnp.where(bc_mask, diag * v, out)
 
-        M = self.make_precond(J_T, diag, bc_mask, transpose=transpose)
+        if self._mg is not None and not transpose:
+            M = self._mg.make(J_T, diag, bc_mask, op)
+        else:
+            M = self.make_precond(J_T, diag, bc_mask, transpose=transpose)
         method = cfg.method
         if method in ("auto", "dense"):
             method = "gmres"

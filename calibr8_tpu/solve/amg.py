@@ -420,42 +420,19 @@ class AMGPrecondFactory:
         Xp = jnp.concatenate([X, jnp.zeros((1, bs), X.dtype)], axis=0)
         return jnp.einsum("nkij,nkj->ni", A, Xp[nbr]).reshape(-1)
 
-    def make(self, J_e, diag, bc_dofs, op=None):
-        """Preconditioner callable for one assembled element-Jacobian
-        state (called once per Newton step; all index maps are static,
-        so this is a few einsums + segment_sums under jit)."""
-        disc = self.disc
-        d = self.d
+    def _u_chain(self, A1, dtype):
+        """Levels >= 1 of the u-block hierarchy from the replicated
+        level-1 Galerkin ELL blocks A1 (n1, K1, m, m): coarser Galerkin
+        products, per-level Chebyshev smoothers, dense coarsest solve.
+        Returns cycle(0, r1) — the V/W-cycle entered at level 1.
+        Shared by the single-device make() and the dist preconditioner
+        (parallel/dist_mg.py), where A1 arrives via a psum."""
         m = self.m
-        npe = disc.spec.npe
-        n_e = disc.n_elem
-        fu = fine_u_setup(
-            disc, J_e, diag, bc_dofs, op, self.uslots, self.omega
-        )
-        op_u = fu["op_u"]
-        mask_u = fu["mask_u"]
-        m_eT = fu["m_eT"]
-        dtype = fu["dtype"]
-
-        # Dirichlet-masked u-block element Jacobians as elem-first
-        # node-pair blocks (n_e, npe, npe, d, d)
-        if fu["trailing"]:
-            JT = fu["J_uuT"]  # (nde_u, nde_u, n_e)
-        else:
-            JT = jnp.moveaxis(fu["J_uu"], 0, -1)
-        JTm = JT * m_eT[:, None, :] * m_eT[None, :, :]
-        Jblk = JTm.reshape(npe, d, npe, d, n_e).transpose(4, 0, 2, 1, 3)
-
-        # level 1 Galerkin: B^T J B per node pair, one segment_sum
-        lv1 = self.levels[0]
-        Bc = lv1.P[disc.conn]  # (n_e, npe, d, m)
-        G = jnp.einsum("eadm,eabdf,ebfn->eabmn", Bc, Jblk, Bc)
-        A = jax.ops.segment_sum(
-            G.reshape(n_e * npe * npe, m * m),
-            lv1.emap,
-            num_segments=lv1.n * lv1.K,
-        ).reshape(lv1.n, lv1.K, m, m)
-
+        omega = self.omega
+        kappa = self.overcorr
+        gamma = self.gamma
+        levels = self.levels
+        A = A1
         ops = []  # per coarse level: (A, nbr, Dinv, n)
         eye = jnp.eye(m, dtype=dtype)
         for li, lv in enumerate(self.levels):
@@ -506,23 +483,6 @@ class AMGPrecondFactory:
         )
         coarse_solve = _coarse_dense_solver(A_dense)
 
-        omega = self.omega
-        kappa = self.overcorr
-        gamma = self.gamma
-        levels = self.levels
-
-        def restrict1(r):  # fine -> level 1: B^T per node, sum by agg
-            R = jnp.einsum(
-                "ndm,nd->nm", levels[0].P, r.reshape(disc.n_nodes, d)
-            )
-            return jax.ops.segment_sum(
-                R, levels[0].agg_prev, num_segments=levels[0].n
-            ).reshape(-1)
-
-        def prolong1(ec):
-            E = ec.reshape(levels[0].n, m)[levels[0].agg_prev]
-            return jnp.einsum("ndm,nm->nd", levels[0].P, E).reshape(-1)
-
         def restrict(lv, r):
             R = jnp.einsum(
                 "nim,ni->nm", lv.P, r.reshape(lv.n_prev, m)
@@ -562,6 +522,80 @@ class AMGPrecondFactory:
                     lambda r, da=dinv_apply: omega * da(r)
                 )
 
+        def cycle(li, r):
+            """V/W-cycle below the fine level: li indexes self.levels."""
+            if li == len(levels) - 1:
+                return coarse_solve(r)
+            z = smoothers[li](r)
+            for _ in range(gamma):
+                r2 = r - lvl_op(li, z)
+                ec = cycle(li + 1, restrict(levels[li + 1], r2))
+                z = z + kappa * prolong(levels[li + 1], ec)
+            r3 = r - lvl_op(li, z)
+            return z + smoothers[li](r3)
+
+        return cycle
+
+    def level1_restrict_maps(self):
+        """Static (host) data a dist caller needs for the fine<->level-1
+        transfers: per-node aggregate ids and rigid-mode blocks."""
+        lv1 = self.levels[0]
+        return lv1.agg_prev, lv1.P, lv1.n
+
+    def make(self, J_e, diag, bc_dofs, op=None):
+        """Preconditioner callable for one assembled element-Jacobian
+        state (called once per Newton step; all index maps are static,
+        so this is a few einsums + segment_sums under jit)."""
+        disc = self.disc
+        d = self.d
+        m = self.m
+        npe = disc.spec.npe
+        n_e = disc.n_elem
+        fu = fine_u_setup(
+            disc, J_e, diag, bc_dofs, op, self.uslots, self.omega
+        )
+        op_u = fu["op_u"]
+        mask_u = fu["mask_u"]
+        m_eT = fu["m_eT"]
+        dtype = fu["dtype"]
+
+        # Dirichlet-masked u-block element Jacobians as elem-first
+        # node-pair blocks (n_e, npe, npe, d, d)
+        if fu["trailing"]:
+            JT = fu["J_uuT"]  # (nde_u, nde_u, n_e)
+        else:
+            JT = jnp.moveaxis(fu["J_uu"], 0, -1)
+        JTm = JT * m_eT[:, None, :] * m_eT[None, :, :]
+        Jblk = JTm.reshape(npe, d, npe, d, n_e).transpose(4, 0, 2, 1, 3)
+
+        # level 1 Galerkin: B^T J B per node pair, one segment_sum
+        lv1 = self.levels[0]
+        Bc = lv1.P[disc.conn]  # (n_e, npe, d, m)
+        G = jnp.einsum("eadm,eabdf,ebfn->eabmn", Bc, Jblk, Bc)
+        A = jax.ops.segment_sum(
+            G.reshape(n_e * npe * npe, m * m),
+            lv1.emap,
+            num_segments=lv1.n * lv1.K,
+        ).reshape(lv1.n, lv1.K, m, m)
+
+        cycle = self._u_chain(A, dtype)
+
+        omega = self.omega
+        kappa = self.overcorr
+        levels = self.levels
+
+        def restrict1(r):  # fine -> level 1: B^T per node, sum by agg
+            R = jnp.einsum(
+                "ndm,nd->nm", levels[0].P, r.reshape(disc.n_nodes, d)
+            )
+            return jax.ops.segment_sum(
+                R, levels[0].agg_prev, num_segments=levels[0].n
+            ).reshape(-1)
+
+        def prolong1(ec):
+            E = ec.reshape(levels[0].n, m)[levels[0].agg_prev]
+            return jnp.einsum("ndm,nm->nd", levels[0].P, E).reshape(-1)
+
         # fine-level smoother to match
         Bu_inv = fu["Bu_inv"]
 
@@ -577,18 +611,6 @@ class AMGPrecondFactory:
             )
         else:
             fine_smooth = fu["smooth"]
-
-        def cycle(li, r):
-            """V/W-cycle below the fine level: li indexes self.levels."""
-            if li == len(levels) - 1:
-                return coarse_solve(r)
-            z = smoothers[li](r)
-            for _ in range(gamma):
-                r2 = r - lvl_op(li, z)
-                ec = cycle(li + 1, restrict(levels[li + 1], r2))
-                z = z + kappa * prolong(levels[li + 1], ec)
-            r3 = r - lvl_op(li, z)
-            return z + smoothers[li](r3)
 
         def vcycle(r):
             # fine level: Chebyshev smoother + u-block matvec
@@ -609,15 +631,9 @@ class AMGPrecondFactory:
         # 12 -> 17 -> 20 flat, full-system 45 -> 106 -> 144 growing).
         # Reuse the SAME aggregates/ELL maps at block size 1 with the
         # constant nullspace.
-        p_ops = self._make_p_chain(J_e, diag, bc_dofs, fu)
-        (
-            op_p,
-            p_fine_smooth,
-            p_smoothers,
-            p_lvl_op,
-            p_coarse_solve,
-            mask_p,
-        ) = p_ops
+        op_p, p_fine_smooth, p_cycle, mask_p = self._make_p_chain(
+            J_e, diag, bc_dofs, fu
+        )
 
         def p_restrict1(r):
             return jax.ops.segment_sum(
@@ -626,25 +642,6 @@ class AMGPrecondFactory:
 
         def p_prolong1(ec):
             return ec[levels[0].agg_prev]
-
-        def p_restrict(lv, r):
-            return jax.ops.segment_sum(
-                r, lv.agg_prev, num_segments=lv.n
-            )
-
-        def p_prolong(lv, ec):
-            return ec[lv.agg_prev]
-
-        def p_cycle(li, r):
-            if li == len(levels) - 1:
-                return p_coarse_solve(r)
-            z = p_smoothers[li](r)
-            for _ in range(gamma):
-                r2 = r - p_lvl_op(li, z)
-                ec = p_cycle(li + 1, p_restrict(levels[li + 1], r2))
-                z = z + kappa * p_prolong(levels[li + 1], ec)
-            r3 = r - p_lvl_op(li, z)
-            return z + p_smoothers[li](r3)
 
         def p_vcycle(r):
             z = p_fine_smooth(r)
@@ -725,6 +722,32 @@ class AMGPrecondFactory:
             ).reshape(-1)
             return jnp.where(bc_p, diag_p * v, out)
 
+        p_cycle = self._p_chain_from_A1(A_p, dtype)
+
+        app = jnp.where(jnp.abs(diag_p) > 1e-300, diag_p, 1.0)
+
+        def p_fine_dinv(r):
+            return r / app
+
+        if self.smoother == "chebyshev":
+            lmax_f = _power_lmax(
+                op_p, p_fine_dinv, disc.n_dofs - n_u, dtype
+            )
+            p_fine_smooth = _chebyshev(
+                op_p, p_fine_dinv, lmax_f, self.cheb_degree, self.cheb_ratio
+            )
+        else:
+            p_fine_smooth = lambda r: self.omega * p_fine_dinv(r)
+
+        return op_p, p_fine_smooth, p_cycle, mask_p
+
+    def _p_chain_from_A1(self, A_p1, dtype):
+        """Levels >= 1 of the scalar pressure hierarchy from replicated
+        level-1 blocks A_p1 (n1, K1); shared with the dist path."""
+        kappa = self.overcorr
+        gamma = self.gamma
+        levels = self.levels
+        A_p = A_p1
         p_ops = []
         for li, lv in enumerate(self.levels):
             if li > 0:
@@ -758,21 +781,6 @@ class AMGPrecondFactory:
             else:
                 p_smoothers.append(lambda r, di=dinv: self.omega * di(r))
 
-        app = jnp.where(jnp.abs(diag_p) > 1e-300, diag_p, 1.0)
-
-        def p_fine_dinv(r):
-            return r / app
-
-        if self.smoother == "chebyshev":
-            lmax_f = _power_lmax(
-                op_p, p_fine_dinv, disc.n_dofs - n_u, dtype
-            )
-            p_fine_smooth = _chebyshev(
-                op_p, p_fine_dinv, lmax_f, self.cheb_degree, self.cheb_ratio
-            )
-        else:
-            p_fine_smooth = lambda r: self.omega * p_fine_dinv(r)
-
         # coarsest: dense scalar
         A_L, nbr_L, _, n_L = p_ops[-1]
         K_L = nbr_L.shape[1]
@@ -789,11 +797,23 @@ class AMGPrecondFactory:
         )
         p_coarse_solve = _coarse_dense_solver(A_dense)
 
-        return (
-            op_p,
-            p_fine_smooth,
-            p_smoothers,
-            p_lvl_op,
-            p_coarse_solve,
-            mask_p,
-        )
+        def p_restrict(lv, r):
+            return jax.ops.segment_sum(
+                r, lv.agg_prev, num_segments=lv.n
+            )
+
+        def p_prolong(lv, ec):
+            return ec[lv.agg_prev]
+
+        def p_cycle(li, r):
+            if li == len(levels) - 1:
+                return p_coarse_solve(r)
+            z = p_smoothers[li](r)
+            for _ in range(gamma):
+                r2 = r - p_lvl_op(li, z)
+                ec = p_cycle(li + 1, p_restrict(levels[li + 1], r2))
+                z = z + kappa * p_prolong(levels[li + 1], ec)
+            r3 = r - p_lvl_op(li, z)
+            return z + p_smoothers[li](r3)
+
+        return p_cycle
