@@ -57,15 +57,29 @@ def build_ell_maps(disc):
     nbr[u_i, slot] = (uniq % n_nodes).astype(np.int32)
     # flat ELL position per element entry (e, a, b)
     ell_idx = (u_i * K + slot)[inv].astype(np.int32).reshape(n_e, npe, npe)
+    # slot-major flat position (assemble_ell_T's scatter target order)
+    ell_idx_T = (slot * n_nodes + u_i)[inv].astype(np.int32).reshape(
+        n_e, npe, npe
+    )
 
-    maps = dict(nbr=jnp.asarray(nbr), ell_idx=jnp.asarray(ell_idx), K=K)
+    maps = dict(
+        nbr=jnp.asarray(nbr),
+        ell_idx=jnp.asarray(ell_idx),
+        ell_idx_T=jnp.asarray(ell_idx_T),
+        K=K,
+    )
     disc._ell_maps = maps
     return maps
 
 
 def assemble_ell(J_e, disc):
     """Element Jacobians (elem-first (n_e, nde, nde) or trailing
-    (nde, nde, E_pad)) -> (A_ell (n_nodes, K, ndpn, ndpn), nbr)."""
+    (nde, nde, E_pad)) -> (A_ell (n_nodes, K, ndpn, ndpn), nbr).
+
+    CPU path; on TPU use assemble_ell_T (any array whose MINOR dims
+    are the small (ndpn, ndpn) blocks tile-pads 32-64x in HBM — the
+    elem-first (E, npe, npe, ndpn, ndpn) intermediate here is 51 GB at
+    1.5M elements)."""
     maps = build_ell_maps(disc)
     n_e = disc.n_elem
     npe = disc.spec.npe
@@ -86,6 +100,36 @@ def assemble_ell(J_e, disc):
         num_segments=disc.n_nodes * K,
     )
     return flat.reshape(disc.n_nodes, K, ndpn, ndpn), maps["nbr"]
+
+
+def assemble_ell_T(J_e, disc):
+    """TPU ELL assembly DIRECTLY in the kernel's trailing layout
+    (K, ndpn, ndpn, n_nodes): every materialized array keeps its big
+    axis minormost (lane-aligned), so nothing tile-pads.  One
+    scatter-add along the minor axis replaces the segment_sum."""
+    maps = build_ell_maps(disc)
+    n_e = disc.n_elem
+    npe = disc.spec.npe
+    ndpn = disc.ndpn
+    K = maps["K"]
+    n = disc.n_nodes
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+
+    if jac_is_trailing(J_e, disc):
+        JT = J_e[:, :, :n_e]
+    else:
+        JT = jnp.moveaxis(J_e, 0, -1)
+    # (nde, nde, E) -> (ndpn^2, npe^2 * E) with column order (a, b, e)
+    V = (
+        JT.reshape(npe, ndpn, npe, ndpn, n_e)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(ndpn * ndpn, npe * npe * n_e)
+    )
+    ids = maps["ell_idx_T"].transpose(1, 2, 0).reshape(-1)  # (a, b, e)
+    A2 = jnp.zeros((ndpn * ndpn, K * n), V.dtype).at[:, ids].add(V)
+    # (ndpn, ndpn, K, n) -> (K, ndpn, ndpn, n): minor axis stays big
+    A_T = A2.reshape(ndpn, ndpn, K, n).transpose(2, 0, 1, 3)
+    return A_T, maps["nbr"]
 
 
 # -- the scatter-free matvec ---------------------------------------------
@@ -186,21 +230,23 @@ class EllOperator:
                 if jac_is_trailing(J_e, disc)
                 else J_e.swapaxes(-1, -2)
             )
-        A, nbr = assemble_ell(J_e, disc)
         self.disc = disc
         self.diag = diag
         self.bc_dofs = bc_dofs
         self.ndpn = disc.ndpn
-        self.K = A.shape[1]
         n = disc.n_nodes
         self.n_nodes = n
         self._blk = _pick_block(n) if jax.default_backend() == "tpu" else None
         if self._blk is not None:
+            # assemble DIRECTLY in trailing layout: the (n, K, ndpn,
+            # ndpn) form tile-pads 64x in HBM (44 GB at 1M DOF)
+            self.A_T, nbr = assemble_ell_T(J_e, disc)
+            self.K = self.A_T.shape[0]
             self.N_pad = n  # divisible by _blk
-            # trailing layouts, computed once
-            self.A_T = jnp.moveaxis(A, 0, -1)  # (K, ndpn, ndpn, N)
         else:
+            A, nbr = assemble_ell(J_e, disc)
             self.A = A
+            self.K = A.shape[1]
         self.nbr = nbr
 
     def __call__(self, v):
