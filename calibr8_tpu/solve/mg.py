@@ -230,10 +230,41 @@ def mixed_wrap(disc, vcycle, fu):
     return M
 
 
+def _pair_p_loc(child_conn, parent_conn, node_parents, elem_parent):
+    """Per-child-element NODE interpolation (n_e, npe, npe):
+    P[e, l, m] = weight of parent local node m in child local node l
+    (P1: midpoints average their two edge endpoints, original nodes
+    map to themselves)."""
+    npe = child_conn.shape[1]
+    n_e = child_conn.shape[0]
+    P = np.zeros((n_e, npe, npe))
+    pc = parent_conn[elem_parent]  # (n_e, npe)
+    for l in range(npe):
+        v = child_conn[:, l]
+        for k in range(2):
+            cn = node_parents[v, k]
+            pos = np.full(n_e, -1, dtype=np.int64)
+            for m in range(npe):
+                pos = np.where(pc[:, m] == cn, m, pos)
+            assert np.all(pos >= 0), "parent node escaped parent element"
+            np.add.at(P, (np.arange(n_e), l, pos), 0.5)
+    return P
+
+
 class MGPrecondFactory:
     """Per-problem MG setup (host, once); make() builds the
     preconditioner for one assembled element-Jacobian state (once per
-    Newton iteration)."""
+    Newton iteration).
+
+    For 1-2 refinement levels the cycle is the proven COMPOSITE
+    two-level form (all levels folded into one prolongation, dense
+    base solve).  For >= 3 levels it RECURSES level by level — a
+    two-level cycle over an 8^3-fold composite coarsening loses
+    h-independence (the smoother must cover the whole intermediate
+    band), and the Galerkin product of an EBE operator through P1
+    interpolation stays EBE on the parent mesh (each child element
+    lands exactly in its parent's block), so every level keeps the
+    trailing element-block form with no assembled matrices."""
 
     def __init__(self, disc, refine_chain, base_mesh=None,
                  omega: float = 0.7):
@@ -338,6 +369,380 @@ class MGPrecondFactory:
                 cdofs=jnp.asarray(cdofs, jnp.int64),
                 n_ce=n_ce,
             )
+            self._perm = perm
+
+        # recursive per-pair hierarchy for deep chains
+        self.recursive = base_mesh is not None and len(refine_chain) >= 3
+        if self.recursive:
+            self._build_pair_levels(disc, refine_chain, base_mesh)
+
+    def _build_pair_levels(self, disc, refine_chain, base_mesh):
+        """Host maps for the recursive hierarchy: one entry per
+        ADJACENT level pair (child -> parent), finest first."""
+        L = len(refine_chain)
+        pairs = []
+        for l in range(L):
+            r = refine_chain[L - 1 - l]
+            if l == 0:
+                child_conn = np.asarray(disc.conn)
+                elem_parent = np.asarray(r.elem_parent)[self._perm]
+            else:
+                child_conn = np.asarray(r.fine.conn)
+                elem_parent = np.asarray(r.elem_parent)
+            parent_mesh = (
+                refine_chain[L - 2 - l].fine if L - 2 - l >= 0 else base_mesh
+            )
+            parent_conn = np.asarray(parent_mesh.conn)
+            node_parents = np.asarray(r.node_parents)
+            P_n = _pair_p_loc(
+                child_conn, parent_conn, node_parents, elem_parent
+            )
+            pairs.append(
+                dict(
+                    P_nT=jnp.asarray(
+                        np.moveaxis(P_n, 0, -1), disc.dtype
+                    ),  # (npe, npe, n_e_child)
+                    elem_parent=jnp.asarray(elem_parent, jnp.int32),
+                    pa=jnp.asarray(node_parents[:, 0], jnp.int32),
+                    pb=jnp.asarray(node_parents[:, 1], jnp.int32),
+                    parent_conn=jnp.asarray(parent_conn, jnp.int32),
+                    n_parent_nodes=parent_mesh.n_nodes,
+                    n_parent_elems=parent_conn.shape[0],
+                )
+            )
+        self._pairs = pairs
+
+    def _make_recursive(self, J_e, diag, bc_dofs, op=None):
+        """Recursive multilevel V-cycle over the refinement chain;
+        Chebyshev smoothing per level, EBE Galerkin coarse operators,
+        dense base solve.  Pressure gets its own scalar chain through
+        the same transfers (the diagonal-only p treatment is
+        h-dependent — measured on the AMG path)."""
+        from calibr8_tpu.solve.amg import _chebyshev, _power_lmax
+
+        disc = self.disc
+        d = self.d
+        spec = disc.spec
+        npe = spec.npe
+        fu = fine_u_setup(
+            disc, J_e, diag, bc_dofs, op, self.uslots, self.omega
+        )
+        dtype = fu["dtype"]
+        mask_u = fu["mask_u"]
+        m_eT = fu["m_eT"]
+        op_u = fu["op_u"]
+        J0 = (
+            fu["J_uuT"]
+            if fu["trailing"]
+            else jnp.moveaxis(fu["J_uu"], 0, -1)
+        )
+        J0 = J0 * m_eT[:, None, :] * m_eT[None, :, :]
+        cheb_deg = getattr(self, "cheb_degree", 6)
+        cheb_ratio = getattr(self, "cheb_ratio", 12.0)
+
+        def galerkin_u(JT, pr):
+            """(nde_u, nde_u, E_child) -> (nde_u, nde_u, E_parent)."""
+            E_c = JT.shape[-1]
+            J5 = JT.reshape(npe, d, npe, d, E_c)
+            G = jnp.einsum(
+                "lce,lqmre,mde->cqdre", pr["P_nT"], J5, pr["P_nT"]
+            ).reshape(npe * d, npe * d, E_c)
+            Gp = jax.ops.segment_sum(
+                jnp.moveaxis(G, -1, 0).reshape(E_c, -1),
+                pr["elem_parent"],
+                num_segments=pr["n_parent_elems"],
+            )
+            return jnp.moveaxis(
+                Gp.reshape(-1, npe * d, npe * d), 0, -1
+            )
+
+        def mk_level_u(JT, conn, n_nodes):
+            nde_u = npe * d
+
+            def op_l(v):
+                V = v.reshape(n_nodes, d)
+                v_eT = V[conn].reshape(-1, nde_u).T
+                rows = []
+                for i in range(nde_u):
+                    acc = JT[i, 0] * v_eT[0]
+                    for j in range(1, nde_u):
+                        acc = acc + JT[i, j] * v_eT[j]
+                    rows.append(acc)
+                Y = jax.ops.segment_sum(
+                    jnp.stack(rows, 0).T.reshape(-1, d),
+                    conn.reshape(-1),
+                    num_segments=n_nodes,
+                )
+                return Y.reshape(-1)
+
+            blocks = jnp.zeros((n_nodes, d, d), JT.dtype)
+            for l in range(npe):
+                blk = jnp.stack(
+                    [
+                        jnp.stack(
+                            [JT[l * d + q, l * d + r2] for r2 in range(d)], 0
+                        )
+                        for q in range(d)
+                    ],
+                    0,
+                )  # (d, d, E)
+                blocks = blocks.at[conn[:, l]].add(
+                    jnp.moveaxis(blk, -1, 0)
+                )
+            dg = jnp.abs(
+                jnp.diagonal(blocks, axis1=1, axis2=2)
+            )
+            fix = (dg < 1e-30).astype(JT.dtype)
+            blocks = blocks + fix[:, :, None] * jnp.eye(d, dtype=JT.dtype)
+            Binv = gauss_solve(
+                blocks,
+                jnp.broadcast_to(jnp.eye(d, dtype=JT.dtype), blocks.shape),
+                pivot=True,
+            )
+
+            def dinv(r):
+                return jnp.einsum(
+                    "nij,nj->ni", Binv, r.reshape(n_nodes, d)
+                ).reshape(-1)
+
+            lmax = _power_lmax(op_l, dinv, n_nodes * d, JT.dtype)
+            smooth = _chebyshev(op_l, dinv, lmax, cheb_deg, cheb_ratio)
+            return op_l, smooth
+
+        # build the u chain: Galerkin down the pairs
+        L = len(self._pairs)
+        J_l = J0
+        level_ops = []  # (op_l, smooth_l) for levels 1..L-1
+        for l in range(L):
+            pr = self._pairs[l]
+            J_l = galerkin_u(J_l, pr)
+            if l < L - 1:
+                level_ops.append(
+                    mk_level_u(
+                        J_l, pr["parent_conn"], pr["n_parent_nodes"]
+                    )
+                )
+
+        # coarsest (base mesh): dense from the EBE blocks
+        pr_last = self._pairs[-1]
+        n_b = pr_last["n_parent_nodes"]
+        conn_b = pr_last["parent_conn"]
+        nde_u = npe * d
+        edofs_b = (
+            conn_b[:, :, None] * d + jnp.arange(d)[None, None, :]
+        ).reshape(-1, nde_u)
+        flat = (
+            edofs_b[:, :, None] * (n_b * d) + edofs_b[:, None, :]
+        ).reshape(-1)
+        A_b = jax.ops.segment_sum(
+            jnp.moveaxis(J_l, -1, 0).reshape(-1),
+            flat,
+            num_segments=(n_b * d) * (n_b * d),
+        ).reshape(n_b * d, n_b * d)
+        dgb = jnp.diagonal(A_b)
+        A_b = A_b + jnp.diag(jnp.where(jnp.abs(dgb) < 1e-12, 1.0, 0.0))
+        coarse_solve = _coarse_dense_solver(A_b)
+
+        # fine-level Chebyshev (matches the level smoothers)
+        Bu_inv = fu["Bu_inv"]
+
+        def fine_dinv(r):
+            return jnp.einsum(
+                "nij,nj->ni", Bu_inv, r.reshape(disc.n_nodes, d)
+            ).reshape(-1)
+
+        lmax_f = _power_lmax(op_u, fine_dinv, disc.n_dofs_u, dtype)
+        fine_smooth = _chebyshev(op_u, fine_dinv, lmax_f, cheb_deg, cheb_ratio)
+
+        def restrict_pair(pr, r):
+            R = 0.5 * r.reshape(-1, d)
+            out = jnp.zeros((pr["n_parent_nodes"], d), r.dtype)
+            out = out.at[pr["pa"]].add(R).at[pr["pb"]].add(R)
+            return out.reshape(-1)
+
+        def prolong_pair(pr, ec):
+            E = ec.reshape(-1, d)
+            return (0.5 * (E[pr["pa"]] + E[pr["pb"]])).reshape(-1)
+
+        def cycle(l, r):
+            """l = 1..L over coarse levels (level l lives on
+            self._pairs[l-1]'s parent mesh)."""
+            if l == L:
+                return coarse_solve(r)
+            op_l, smooth_l = level_ops[l - 1]
+            z = smooth_l(r)
+            r2 = r - op_l(z)
+            ec = cycle(l + 1, restrict_pair(self._pairs[l], r2))
+            z = z + prolong_pair(self._pairs[l], ec)
+            r3 = r - op_l(z)
+            return z + smooth_l(r3)
+
+        def vcycle(r):
+            z = fine_smooth(r)
+            r2 = (r - op_u(z)) * mask_u
+            ec = cycle(1, restrict_pair(self._pairs[0], r2))
+            z = z + prolong_pair(self._pairs[0], ec) * mask_u
+            r3 = r - op_u(z)
+            return z + fine_smooth(r3)
+
+        if not spec.mixed:
+            return mixed_wrap(disc, vcycle, fu)
+
+        # ---- scalar pressure chain through the same transfers ---------
+        pslots = np.array(
+            [l * disc.ndpn + d for l in range(npe)], dtype=np.int64
+        )
+        n_u = disc.n_dofs_u
+        if fu["trailing"]:
+            J_pp = jnp.take(
+                jnp.take(J_e, jnp.asarray(pslots), axis=0),
+                jnp.asarray(pslots),
+                axis=1,
+            )[:, :, : disc.n_elem]
+        else:
+            J_pp = jnp.moveaxis(
+                J_e[:, pslots, :][:, :, pslots], 0, -1
+            )
+        bc_mask = jnp.zeros(disc.n_dofs, bool).at[bc_dofs].set(True)
+        bc_p = bc_mask[n_u:]
+        diag_p = diag[n_u:]
+        mask_p = jnp.where(bc_p, 0.0, 1.0).astype(dtype)
+        m_peT = mask_p[disc.conn].T
+        Jp0 = J_pp * m_peT[:, None, :] * m_peT[None, :, :]
+
+        def galerkin_p(JT, pr):
+            E_c = JT.shape[-1]
+            G = jnp.einsum(
+                "lce,lme,mde->cde", pr["P_nT"], JT, pr["P_nT"]
+            )
+            Gp = jax.ops.segment_sum(
+                jnp.moveaxis(G, -1, 0).reshape(E_c, -1),
+                pr["elem_parent"],
+                num_segments=pr["n_parent_elems"],
+            )
+            return jnp.moveaxis(Gp.reshape(-1, npe, npe), 0, -1)
+
+        def mk_level_p(JT, conn, n_nodes):
+            def op_l(v):
+                V = v[conn].T  # (npe, E)
+                rows = []
+                for i in range(npe):
+                    acc = JT[i, 0] * V[0]
+                    for j in range(1, npe):
+                        acc = acc + JT[i, j] * V[j]
+                    rows.append(acc)
+                return jax.ops.segment_sum(
+                    jnp.stack(rows, 0).T.reshape(-1),
+                    conn.reshape(-1),
+                    num_segments=n_nodes,
+                )
+
+            dgv = jnp.zeros(n_nodes, JT.dtype)
+            for l in range(npe):
+                dgv = dgv.at[conn[:, l]].add(JT[l, l])
+            dgv = jnp.where(jnp.abs(dgv) > 1e-30, dgv, 1.0)
+
+            def dinv(r):
+                return r / dgv
+
+            lmax = _power_lmax(op_l, dinv, n_nodes, JT.dtype)
+            smooth = _chebyshev(op_l, dinv, lmax, cheb_deg, cheb_ratio)
+            return op_l, smooth
+
+        Jp_l = Jp0
+        p_level_ops = []
+        for l in range(L):
+            pr = self._pairs[l]
+            Jp_l = galerkin_p(Jp_l, pr)
+            if l < L - 1:
+                p_level_ops.append(
+                    mk_level_p(
+                        Jp_l, pr["parent_conn"], pr["n_parent_nodes"]
+                    )
+                )
+        flat_p = (
+            conn_b[:, :, None] * n_b + conn_b[:, None, :]
+        ).reshape(-1)
+        A_bp = jax.ops.segment_sum(
+            jnp.moveaxis(Jp_l, -1, 0).reshape(-1),
+            flat_p,
+            num_segments=n_b * n_b,
+        ).reshape(n_b, n_b)
+        dgp = jnp.diagonal(A_bp)
+        A_bp = A_bp + jnp.diag(jnp.where(jnp.abs(dgp) < 1e-12, 1.0, 0.0))
+        p_coarse_solve = _coarse_dense_solver(A_bp)
+
+        conn = disc.conn
+
+        def op_p(v):
+            V = v[conn].T
+            rows = []
+            for i in range(npe):
+                acc = J_pp[i, 0] * V[0]
+                for j in range(1, npe):
+                    acc = acc + J_pp[i, j] * V[j]
+                rows.append(acc)
+            out = disc.scatter_rows(
+                jnp.stack(rows, 0).T.reshape(-1, 1)
+            ).reshape(-1)
+            return jnp.where(bc_p, diag_p * v, out)
+
+        app = jnp.where(jnp.abs(diag_p) > 1e-300, diag_p, 1.0)
+
+        def p_fine_dinv(r):
+            return r / app
+
+        lmax_p = _power_lmax(op_p, p_fine_dinv, disc.n_dofs - n_u, dtype)
+        p_fine_smooth = _chebyshev(
+            op_p, p_fine_dinv, lmax_p, cheb_deg, cheb_ratio
+        )
+
+        def p_restrict_pair(pr, r):
+            out = jnp.zeros(pr["n_parent_nodes"], r.dtype)
+            return out.at[pr["pa"]].add(0.5 * r).at[pr["pb"]].add(0.5 * r)
+
+        def p_prolong_pair(pr, ec):
+            return 0.5 * (ec[pr["pa"]] + ec[pr["pb"]])
+
+        def p_cycle(l, r):
+            if l == L:
+                return p_coarse_solve(r)
+            op_l, smooth_l = p_level_ops[l - 1]
+            z = smooth_l(r)
+            r2 = r - op_l(z)
+            ec = p_cycle(l + 1, p_restrict_pair(self._pairs[l], r2))
+            z = z + p_prolong_pair(self._pairs[l], ec)
+            r3 = r - op_l(z)
+            return z + smooth_l(r3)
+
+        def p_vcycle(r):
+            z = p_fine_smooth(r)
+            r2 = (r - op_p(z)) * mask_p
+            ec = p_cycle(1, p_restrict_pair(self._pairs[0], r2))
+            z = z + p_prolong_pair(self._pairs[0], ec) * mask_p
+            r3 = r - op_p(z)
+            return z + p_fine_smooth(r3)
+
+        # block GS over (u, p) with exact coupling (solve/amg.py M)
+        n_p = disc.n_dofs - n_u
+        if op is not None:
+            op_full = op
+        else:
+            from calibr8_tpu.fem.assembly import ebe_matvec_disc
+            from calibr8_tpu.fem.bcs import apply_dbcs_matvec
+
+            def op_full(v):
+                out = ebe_matvec_disc(J_e, disc, v)
+                return apply_dbcs_matvec(out, diag, v, bc_dofs)
+
+        def M(r):
+            z_u = vcycle(r[:n_u])
+            z = jnp.concatenate([z_u, jnp.zeros(n_p, z_u.dtype)])
+            r_p = (r - op_full(z))[n_u:]
+            z_p = p_vcycle(r_p)
+            return jnp.concatenate([z_u, z_p])
+
+        return M
 
     # -- grid transfer (u block) ------------------------------------------
     def prolong_u(self, xc, mask_u):
@@ -362,6 +767,8 @@ class MGPrecondFactory:
         J_e: element Jacobians, elem-first (n_e, nde, nde) or trailing
         (nde, nde, E_pad).  `op` (the full assembled matvec) is used,
         when given, as the fine-level u-block apply."""
+        if self.recursive:
+            return self._make_recursive(J_e, diag, bc_dofs, op)
         disc = self.disc
         d = self.d
         n_u = disc.n_dofs_u

@@ -92,6 +92,20 @@ def test_mg_iteration_count_flat_3d_cube():
 
 
 @pytest.mark.smoke
+def test_mg_recursive_multilevel():
+    """>= 3 refinement levels route to the RECURSIVE per-pair cycle
+    (composite two-level over an 8^3-fold coarsening loses
+    h-independence); counts stay h-robust L=3 -> L=4 (measured 30 ->
+    65 vs one-level block-GS stalling at 600)."""
+    base = {"type": "notch2D", "h": 0.25}
+    its = {}
+    for L in (3, 4):
+        prob = _problem(base, L, BCS_2D(0.001))
+        assert prob.mg_factory.recursive
+        its[L] = _iters(prob, M="mg")
+    assert its[4] <= 2.5 * its[3], its
+
+
 def test_mg_primal_matches_dense():
     """Full MG-preconditioned Newton solve == dense-direct solve."""
     deck = make_deck(
