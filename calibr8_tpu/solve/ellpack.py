@@ -142,6 +142,10 @@ def _pick_block(n: int):
     return None
 
 
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
 def _make_kernel(K, ndpn, N_pad, dtype, block_n, transpose=False):
     """Forward: y[i, n] = sum_{s, j} A[s, i, j, n] G[s, j, n].
     Transpose (the linear_call rule, cotangent wrt the gathered G):
@@ -236,14 +240,22 @@ class EllOperator:
         self.ndpn = disc.ndpn
         n = disc.n_nodes
         self.n_nodes = n
-        self._blk = _pick_block(n) if jax.default_backend() == "tpu" else None
-        if self._blk is not None:
+        if jax.default_backend() == "tpu":
             # assemble DIRECTLY in trailing layout: the (n, K, ndpn,
-            # ndpn) form tile-pads 64x in HBM (44 GB at 1M DOF)
-            self.A_T, nbr = assemble_ell_T(J_e, disc)
+            # ndpn) form tile-pads 64x in HBM (44 GB at 1M DOF).  Pad
+            # the node axis to a 128 multiple so the kernel's block
+            # grid always applies (65^3-node cubes are odd; the old
+            # divisibility bail-out silently fell back to the einsum
+            # path on every cube mesh).
+            self.N_pad = _pad128(n)
+            self._blk = _pick_block(self.N_pad)
+            A_T, nbr = assemble_ell_T(J_e, disc)
+            self.A_T = jnp.pad(
+                A_T, ((0, 0), (0, 0), (0, 0), (0, self.N_pad - n))
+            )
             self.K = self.A_T.shape[0]
-            self.N_pad = n  # divisible by _blk
         else:
+            self._blk = None
             A, nbr = assemble_ell(J_e, disc)
             self.A = A
             self.K = A.shape[1]
@@ -259,17 +271,17 @@ class EllOperator:
         )
         G = Xp[self.nbr]  # (n_nodes, K, ndpn)
         if self._blk is not None:
-            key = (self.K, self.ndpn, self.n_nodes, G.dtype, self._blk)
+            key = (self.K, self.ndpn, self.N_pad, G.dtype, self._blk)
             calls = _KCACHE.get(key)
             if calls is None:
                 calls = (
                     _make_kernel(
-                        self.K, self.ndpn, self.n_nodes, G.dtype, self._blk
+                        self.K, self.ndpn, self.N_pad, G.dtype, self._blk
                     ),
                     _make_kernel(
                         self.K,
                         self.ndpn,
-                        self.n_nodes,
+                        self.N_pad,
                         G.dtype,
                         self._blk,
                         transpose=True,
@@ -281,13 +293,17 @@ class EllOperator:
             # lax.custom_linear_solve (jax gmres) requires at trace time
             from jax import custom_derivatives as _cd
 
+            G_T = jnp.moveaxis(G, 0, -1)  # (K, ndpn, n)
+            G_T = jnp.pad(
+                G_T, ((0, 0), (0, 0), (0, self.N_pad - self.n_nodes))
+            )
             Y_T = _cd.linear_call(
                 lambda A_T, G_T: fwd_call(A_T, G_T),
                 lambda A_T, ct: bwd_call(A_T, ct),
                 self.A_T,
-                jnp.moveaxis(G, 0, -1),
+                G_T,
             )
-            y = disc.nodemat_to_flat(Y_T.T)
+            y = disc.nodemat_to_flat(Y_T[:, : self.n_nodes].T)
         else:
             y = disc.nodemat_to_flat(
                 jnp.einsum("nsij,nsj->ni", self.A, G)
