@@ -32,6 +32,27 @@ from calibr8_tpu.models.newton import make_local_solver
 from calibr8_tpu.utils.smallsolve import gauss_solve, gauss_solve_T
 
 
+def mm_T(A, B):
+    """(m, k, E) @ (k, n, E) -> (m, n, E) as unrolled lane FMAs.
+
+    NOT jnp.einsum: XLA lowers the batched contraction as dot_general
+    with the element batch dim leading, whose (16, 16) minor dims
+    tile-pad 8x in HBM — a 12 GB temp at 1.5M elements (the scale-mesh
+    adjoint OOM)."""
+    m, kk = A.shape[0], A.shape[1]
+    n = B.shape[1]
+    rows = []
+    for i in range(m):
+        cols = []
+        for j in range(n):
+            acc = A[i, 0] * B[0, j]
+            for k2 in range(1, kk):
+                acc = acc + A[i, k2] * B[k2, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, 0))
+    return jnp.stack(rows, 0)
+
+
 class Assembler:
     """Bundles the vmapped kernels for one (model, mechanics spec) pair."""
 
@@ -197,7 +218,7 @@ class Assembler:
             dR_dx_T = JG_T[nxi:, nxi:]
             R_eT = G0_T[nxi:, :]
             dxi_dx_T = -gauss_solve_T(dC_dxi_T, dC_dx_T)
-            J_T = dR_dx_T + jnp.einsum("ike,kje->ije", dR_dxi_T, dxi_dx_T)
+            J_T = dR_dx_T + mm_T(dR_dxi_T, dxi_dx_T)
             return R_eT, J_T
 
         return kernel
@@ -265,9 +286,7 @@ class Assembler:
             dR_dp_T = JG_T[nxi:, c3:]
             # static condensation in trailing layout
             dxi_dx_T = -gauss_solve_T(dC_dxi_T, dC_dx_T)
-            J_total_T = dR_dx_T + jnp.einsum(
-                "ike,kje->ije", dR_dxi_T, dxi_dx_T
-            )
+            J_total_T = dR_dx_T + mm_T(dR_dxi_T, dxi_dx_T)
             return dict(
                 dC_dxi_T=dC_dxi_T,
                 dC_dxprev_T=dC_dxprev_T,
