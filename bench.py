@@ -194,20 +194,42 @@ def make_assemble(prob, hoist=None):
     return lambda x, xp, xip, params: body_h(hoist, aux, x, xp, xip, params)
 
 
-def timeit(fn, args, iters):
+def timeit(fn, args, iters, chain=None):
+    """Average seconds per call.
+
+    `chain(out, args) -> args` injects a DATA DEPENDENCY of the next
+    call on the previous call's output (e.g. x + 0*scalar_from_out):
+    the device serializes the iterations without any host round trip.
+    Blocking only on the last output let the axon tunnel's async
+    dispatch under-report (round-2's newton_f64 recorded 0.2 ms for a
+    full Newton step); per-call host sync over-reports by the ~30 ms
+    tunnel RTT.  Chaining gives honest device time."""
     import jax
 
     out = fn(*args)  # warmup/compile
     jax.block_until_ready(out)
-    # synchronize EVERY call: blocking only on the last output let the
-    # axon tunnel's async dispatch under-report (round-2's newton_f64
-    # recorded 0.2 ms for a full Newton step); per-call sync overhead is
-    # ~ms against >=10 ms measurements
+    if chain is None:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        jax.block_until_ready(out)
+        args = chain(out, args)
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _chain_first_arg(scalar_of):
+    """Chain helper: next x = x + 0 * (scalar from the previous out)."""
+
+    def chain(out, args):
+        s = scalar_of(out)
+        return (args[0] + 0.0 * s,) + tuple(args[1:])
+
+    return chain
 
 
 def cost_analysis(fn, args):
@@ -232,7 +254,12 @@ def _bench_assembly(prob, out, iters, with_roofline=True, hoist=None):
     x, x_prev, xi_prev = representative_state(prob)
     params = prob.params0
     assemble = make_assemble(prob, hoist=hoist)
-    dt = timeit(assemble, (x, x_prev, xi_prev, params), iters)
+    dt = timeit(
+        assemble,
+        (x, x_prev, xi_prev, params),
+        iters,
+        chain=_chain_first_arg(lambda out: out[0].ravel()[0]),
+    )
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
     if not with_roofline:
@@ -325,7 +352,10 @@ def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None):
     mg = prob.mg_factory if refinements else None
     newton_step = _newton_fn(prob, dtype_str, mg, hoist=hoist)
     dt = timeit(
-        newton_step, (x, x_prev, xi_prev, params, bc_dofs, bc_vals), iters
+        newton_step,
+        (x, x_prev, xi_prev, params, bc_dofs, bc_vals),
+        iters,
+        chain=_chain_first_arg(lambda out: out[3]),
     )
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
@@ -393,7 +423,10 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None):
         loc = loc_h(hoist, x, x_prev, xi_prev, params)
     jfn, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist)
     dt = timeit(
-        jfn, (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0), iters
+        jfn,
+        (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0),
+        iters,
+        chain=_chain_first_arg(lambda out: out.grad.ravel()[0]),
     )
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
