@@ -117,7 +117,10 @@ def _build_objective(spec, prob):
     )
     obj_type = inverse.get("objective type", "pdeco")
     if obj_type in ("pdeco", "adjoint"):
-        adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, LinearCfg())
+        adj = Adjoint(
+            prob.assembler, prob.qoi, prob.dbcs, LinearCfg(),
+            mg_factory=prob.mg_factory,
+        )
         obj = AdjointObjective(prob, adj, active)
     elif obj_type == "FEMU":
         obj = FEMUObjective(prob, active)

@@ -90,7 +90,10 @@ def exact_error(spec, mesh=None, linear_cfg=None) -> ExactErrorResult:
     J_h = traj_h.J
 
     # adjoint about the TRUTH state (exact weights)
-    adj = Adjoint(fine.assembler, fine.qoi, fine.dbcs, linear_cfg)
+    adj = Adjoint(
+        fine.assembler, fine.qoi, fine.dbcs, linear_cfg,
+        mg_factory=fine.mg_factory,
+    )
     _, zs = adj.sweep(traj_h, fine.params0, fine.time_grid)
 
     # residuals evaluated at the prolonged BASE state with TRUTH paths
@@ -126,7 +129,10 @@ def model_form_exact_error(spec, mesh=None, linear_cfg=None) -> ExactErrorResult
     traj_fine = fine.solve_primal()
     J_fine = traj_fine.J
 
-    adj = Adjoint(fine.assembler, fine.qoi, fine.dbcs, linear_cfg)
+    adj = Adjoint(
+        fine.assembler, fine.qoi, fine.dbcs, linear_cfg,
+        mg_factory=fine.mg_factory,
+    )
     _, zs = adj.sweep(traj_fine, fine.params0, fine.time_grid)
 
     traj_err = Trajectory(

@@ -61,7 +61,10 @@ def model_form_verify(spec: ProblemSpec, mesh=None, linear_cfg=None) -> VerifyRe
     traj_adj = Trajectory(
         x=traj_base.x, xi=traj_base.xi, path=traj_fine.path, qoi_values=[]
     )
-    adj = Adjoint(fine.assembler, fine.qoi, fine.dbcs, linear_cfg)
+    adj = Adjoint(
+        fine.assembler, fine.qoi, fine.dbcs, linear_cfg,
+        mg_factory=fine.mg_factory,
+    )
     _, zs = adj.sweep(traj_adj, fine.params0, fine.time_grid)
 
     kern = _ErrorKernels(fine.assembler)
@@ -118,7 +121,10 @@ def model_form_error_estimate(spec: ProblemSpec, mesh=None, linear_cfg=None):
     traj_adj = Trajectory(
         x=traj_base.x, xi=traj_base.xi, path=traj_base.path, qoi_values=[]
     )
-    adj = Adjoint(fine.assembler, fine.qoi, fine.dbcs, linear_cfg)
+    adj = Adjoint(
+        fine.assembler, fine.qoi, fine.dbcs, linear_cfg,
+        mg_factory=fine.mg_factory,
+    )
     _, zs = adj.sweep(traj_adj, fine.params0, fine.time_grid)
 
     kern = _ErrorKernels(fine.assembler)

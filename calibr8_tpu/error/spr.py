@@ -56,7 +56,10 @@ def spr_error_estimate(spec, mesh=None, linear_cfg=None) -> SPRResult:
     traj_H = coarse.solve_primal()
 
     # coarse adjoint about the coarse primal (recorded coarse paths)
-    adj = Adjoint(coarse.assembler, coarse.qoi, coarse.dbcs, linear_cfg)
+    adj = Adjoint(
+        coarse.assembler, coarse.qoi, coarse.dbcs, linear_cfg,
+        mg_factory=coarse.mg_factory,
+    )
     _, zs_coarse = adj.sweep(traj_H, coarse.params0, coarse.time_grid)
 
     ref = uniform_refine(coarse.mesh)

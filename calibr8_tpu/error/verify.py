@@ -194,7 +194,10 @@ def verify(spec, mesh=None, linear_cfg=None) -> VerifyResult:
         x=traj_p.x, xi=traj_p.xi, path=traj_h.path, qoi_values=[]
     )
 
-    adj = Adjoint(fine.assembler, fine.qoi, fine.dbcs, linear_cfg)
+    adj = Adjoint(
+        fine.assembler, fine.qoi, fine.dbcs, linear_cfg,
+        mg_factory=fine.mg_factory,
+    )
     _, zs = adj.sweep(traj_adj, fine.params0, fine.time_grid)
 
     kern = _ErrorKernels(fine.assembler)

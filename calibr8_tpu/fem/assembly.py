@@ -32,6 +32,57 @@ from calibr8_tpu.models.newton import make_local_solver
 from calibr8_tpu.utils.smallsolve import gauss_solve, gauss_solve_T
 
 
+def _elem_chunk_size():
+    import os
+
+    return int(os.environ.get("CALIBR8_ELEM_CHUNK", 1 << 18))
+
+
+def chunked_trailing(kernel, chunk=None):
+    """Evaluate a trailing-layout element kernel in element chunks.
+
+    The fused tangent kernels materialize (n_out, n_seeds) per-element
+    intermediates; at 1.5M elements the adjoint-blocks linearize alone
+    holds a 7 GB (E, 52, 23) temp — the round-3 scale-mesh HBM OOM.
+    jax.lax.map over element chunks bounds the live temp to one chunk
+    while leaving the per-chunk math identical (same trailing layout,
+    same vmap).  All inputs and outputs carry the element axis
+    minor-most; the pad replicates the last element so padded lanes
+    stay numerically valid, then is sliced off.  Engages only past
+    `chunk` elements (env CALIBR8_ELEM_CHUNK, default 262144), so
+    small problems compile the exact same program as before.
+    """
+    if chunk is None:
+        chunk = _elem_chunk_size()
+
+    def wrapped(*args):
+        E = args[4].shape[0]  # path
+        if E <= chunk:
+            return kernel(*args)
+        nc = -(-E // chunk)
+        pad = nc * chunk - E
+
+        def prep(a):
+            if pad:
+                a = jnp.pad(
+                    a, [(0, 0)] * (a.ndim - 1) + [(0, pad)], mode="edge"
+                )
+            a = a.reshape(a.shape[:-1] + (nc, chunk))
+            return jnp.moveaxis(a, -2, 0)
+
+        stacked = tuple(prep(a) for a in args)
+        out = jax.lax.map(lambda ts: kernel(*ts), stacked)
+
+        def post(o):
+            o = jnp.moveaxis(o, 0, -2)
+            o = o.reshape(o.shape[:-2] + (nc * chunk,))
+            return o[..., :E] if pad else o
+
+        return jax.tree.map(post, out)
+
+    return wrapped
+
+
 def mm_T(A, B):
     """(m, k, E) @ (k, n, E) -> (m, n, E) as unrolled lane FMAs.
 
@@ -221,7 +272,7 @@ class Assembler:
             J_T = dR_dx_T + mm_T(dR_dxi_T, dxi_dx_T)
             return R_eT, J_T
 
-        return kernel
+        return chunked_trailing(kernel)
 
     def make_adjoint_blocks_kernel(self):
         """Trailing-layout fused kernel for ALL adjoint element blocks.
@@ -298,7 +349,7 @@ class Assembler:
                 J_total_T=J_total_T,
             )
 
-        return kernel
+        return chunked_trailing(kernel)
 
     def residual_and_jacobian(self, x, x_prev, xi, xi_prev, path, params_all):
         """Returns (R (n_dofs,), J_e (n_elem, nde, nde), diag (n_dofs,)).

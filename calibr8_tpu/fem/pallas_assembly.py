@@ -43,14 +43,16 @@ def supports_pallas(assembler) -> bool:
         return False
     spec = assembler.spec
     if (
-        not getattr(bm, "analytic_solve", False)
-        and assembler.disc.dtype == jnp.float64
+        assembler.disc.dtype == jnp.float64
         and jax.default_backend() == "tpu"
     ):
-        # implicit twins run a lax.while_loop local Newton; Mosaic's
-        # while lowering cannot carry f64 vectors (the backend compiler
-        # crashes), so f64 problems use the generic XLA path.  CPU
-        # interpret-mode tests are unaffected.
+        # f64 Pallas is structurally impossible on this TPU stack: the
+        # XLA:TPU "rewrite computation to not contain X64 element
+        # types" pass has no rule for tpu_custom_call, so ANY Pallas
+        # call with f64 operands fails to compile — independent of the
+        # kernel body (probed: while / fori / fully-unrolled all fail
+        # identically; scripts/probe_mosaic_f64.py).  f64 problems use
+        # the generic XLA path.  CPU interpret-mode tests unaffected.
         return False
     if getattr(bm, "plane_stress", False):
         # displacement-only plane-stress kernel path; finite-deformation

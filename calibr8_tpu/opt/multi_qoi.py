@@ -41,7 +41,10 @@ def evaluate_multiple_qois_and_gradients(
                     traj.x[step], traj.x[step - 1], traj.xi[step], params_all, aux
                 )
             )
-        adj = Adjoint(problem.assembler, qoi, problem.dbcs, linear_cfg)
+        adj = Adjoint(
+            problem.assembler, qoi, problem.dbcs, linear_cfg,
+            mg_factory=problem.mg_factory,
+        )
         grad_all, _ = adj.sweep(traj, params_all, tg)
         entry = {"name": qtype, "J": J, "grad_all": np.asarray(grad_all)}
         if active is not None:

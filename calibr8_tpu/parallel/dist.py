@@ -100,8 +100,8 @@ class DistContext:
         self._build_kernels()
 
         # distributed AMG preconditioner when the deck asked for a
-        # multigrid hierarchy (parallel/dist_mg.py; primal solves only
-        # — the adjoint keeps the transposed one-level block precond)
+        # multigrid hierarchy (parallel/dist_mg.py; the adjoint gets
+        # the mirrored-sweep transposed cycle)
         self._mg = None
         if getattr(prob, "mg_factory", None) is not None:
             from calibr8_tpu.parallel.dist_mg import DistAMG
@@ -640,8 +640,8 @@ class DistContext:
                 out = self.matvec(J_T, v)
                 return jnp.where(bc_mask, diag * v, out)
 
-        if self._mg is not None and not transpose:
-            M = self._mg.make(J_T, diag, bc_mask, op)
+        if self._mg is not None:
+            M = self._mg.make(J_T, diag, bc_mask, op, transpose=transpose)
         else:
             M = self.make_precond(J_T, diag, bc_mask, transpose=transpose)
         method = cfg.method

@@ -97,12 +97,16 @@ class DistAMG:
         self.npe = npe
 
     # ------------------------------------------------------------------
-    def make(self, J_T, diag, bc_mask, op_full):
+    def make(self, J_T, diag, bc_mask, op_full, transpose=False):
         """Build M(r) for one assembled sharded state.
 
         J_T (P, nde, nde, E_loc) element Jacobians, diag/bc_mask
         (P, N_own, ndpn), op_full the assembled sharded matvec (with
-        Dirichlet rows) the Krylov loop uses."""
+        Dirichlet rows) the Krylov loop uses.  transpose=True expects
+        J_T ALREADY row/col-swapped (the dist adjoint convention) —
+        the hierarchy then belongs to the transposed operator — and
+        mirrors the u/p sweep order (p first), the multigrid analog
+        of the transposed block-GS the adjoint needs."""
         ctx = self.ctx
         f = self.factory
         disc = ctx.disc
@@ -300,10 +304,20 @@ class DistAMG:
             r3 = r_p - op_p(z)
             return z + p_fine_smooth(r3)
 
-        def M(r):  # (P, N_own, ndpn)
-            z_u = vcycle(r[..., :d])
-            r_p = (r - op_full(embed_u(z_u)))[..., d]
-            z_p = p_vcycle(r_p)
-            return jnp.concatenate([z_u, z_p[..., None]], axis=-1)
+        if transpose:
+
+            def M(r):  # (P, N_own, ndpn)
+                z_p = p_vcycle(r[..., d])
+                r_u = (r - op_full(embed_p(z_p)))[..., :d]
+                z_u = vcycle(r_u)
+                return jnp.concatenate([z_u, z_p[..., None]], axis=-1)
+
+        else:
+
+            def M(r):  # (P, N_own, ndpn)
+                z_u = vcycle(r[..., :d])
+                r_p = (r - op_full(embed_u(z_u)))[..., d]
+                z_p = p_vcycle(r_p)
+                return jnp.concatenate([z_u, z_p[..., None]], axis=-1)
 
         return M

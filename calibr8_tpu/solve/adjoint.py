@@ -58,10 +58,16 @@ class Adjoint:
         grad, zs = adj.sweep(traj, params_all, time_grid)
     """
 
-    def __init__(self, assembler, qoi, dbcs, linear_cfg=None):
+    def __init__(self, assembler, qoi, dbcs, linear_cfg=None, mg_factory=None):
         self.assembler = assembler
         self.qoi = qoi
         self.dbcs = dbcs
+        # multigrid preconditioner factory for the TRANSPOSED solves
+        # (mirrored-sweep cycle, solve/mg.py mixed_wrap transpose=True);
+        # pass prob.mg_factory to precondition the adjoint the same way
+        # the reference's Teko/MueLu stack serves both directions
+        # (linear_solve.cpp:36-123)
+        self.mg_factory = mg_factory
         cfg = linear_cfg or linear_mod.LinearCfg()
         # the reference tightens the Belos tolerance for the adjoint and
         # runs an iterative-refinement loop (adjoint.cpp:41-49,113-180)

@@ -542,7 +542,7 @@ class AMGPrecondFactory:
         lv1 = self.levels[0]
         return lv1.agg_prev, lv1.P, lv1.n
 
-    def make(self, J_e, diag, bc_dofs, op=None):
+    def make(self, J_e, diag, bc_dofs, op=None, transpose=False):
         """Preconditioner callable for one assembled element-Jacobian
         state (called once per Newton step; all index maps are static,
         so this is a few einsums + segment_sums under jit)."""
@@ -622,7 +622,7 @@ class AMGPrecondFactory:
             return z + fine_smooth(r3)
 
         if not disc.spec.mixed:
-            return mixed_wrap(disc, vcycle, fu)
+            return mixed_wrap(disc, vcycle, fu, transpose=transpose)
 
         # ---- pressure-block AMG chain --------------------------------
         # the GLS stabilization makes A_pp a (tau h^2)-scaled Laplacian;
@@ -666,12 +666,24 @@ class AMGPrecondFactory:
                 out = ebe_matvec_disc(J_e, disc, v)
                 return apply_dbcs_matvec(out, diag, v, bc_dofs)
 
-        def M(r):
-            z_u = vcycle(r[:n_u])
-            z = jnp.concatenate([z_u, jnp.zeros(n_p, z_u.dtype)])
-            r_p = (r - op_full(z))[n_u:]
-            z_p = p_vcycle(r_p)
-            return jnp.concatenate([z_u, z_p])
+        if transpose:
+
+            def M(r):
+                # mirrored sweep for transposed (adjoint) operators
+                z_p = p_vcycle(r[n_u:])
+                z = jnp.concatenate([jnp.zeros(n_u, z_p.dtype), z_p])
+                r_u = (r - op_full(z))[:n_u]
+                z_u = vcycle(r_u)
+                return jnp.concatenate([z_u, z_p])
+
+        else:
+
+            def M(r):
+                z_u = vcycle(r[:n_u])
+                z = jnp.concatenate([z_u, jnp.zeros(n_p, z_u.dtype)])
+                r_p = (r - op_full(z))[n_u:]
+                z_p = p_vcycle(r_p)
+                return jnp.concatenate([z_u, z_p])
 
         return M
 

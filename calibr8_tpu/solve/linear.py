@@ -145,7 +145,7 @@ def solve_info(
 
     if mg is not None:
         # geometric multigrid V-cycle (the MueLu AMG analog, solve/mg.py)
-        M = mg.make(op_e, diag, bc_dofs, op)
+        M = mg.make(op_e, diag, bc_dofs, op, transpose=transpose)
     elif cfg.preconditioner == "block_gs":
         from calibr8_tpu.solve.precond import BlockJacobiGS
 

@@ -146,6 +146,7 @@ def fine_u_setup(disc, J_e, diag, bc_dofs, op, uslots, omega):
         pivot=True,
     )  # (n_nodes, d, d)
     Apu = blocks[:, d, :d] if spec.mixed else None
+    Aup = blocks[:, :d, d] if spec.mixed else None
     app = blocks[:, d, d] if spec.mixed else None
     if spec.mixed:
         app = jnp.where(jnp.abs(app) > 1e-300, app, 1.0)
@@ -215,6 +216,7 @@ def fine_u_setup(disc, J_e, diag, bc_dofs, op, uslots, omega):
         smooth=smooth,
         Bu_inv=Bu_inv,
         Apu=Apu,
+        Aup=Aup,
         app=app,
         mask_u=mask_u,
         m_eT=m_eT,
@@ -224,15 +226,34 @@ def fine_u_setup(disc, J_e, diag, bc_dofs, op, uslots, omega):
     )
 
 
-def mixed_wrap(disc, vcycle, fu):
+def mixed_wrap(disc, vcycle, fu, transpose=False):
     """Wrap a u-block cycle into the u/p block Gauss-Seidel the
     one-level preconditioner uses (solve/precond.py):
-    z_u = cycle(r_u); z_p = app^{-1} (r_p - A_pu z_u)."""
+    z_u = cycle(r_u); z_p = app^{-1} (r_p - A_pu z_u).
+
+    transpose=True mirrors the sweep (p first, then u corrected
+    through the operator's up-coupling) — the analog of the transposed
+    block-GS that the adjoint systems need (solve/precond.py
+    transpose=True; forward ordering measurably stalls the adjoint
+    Krylov).  The element blocks in `fu` already belong to the
+    TRANSPOSED operator (solve/linear.py swaps before building the
+    preconditioner), so only the sweep order changes here."""
     d = disc.spec.dim
     n_u = disc.n_dofs_u
     spec = disc.spec
     Apu = fu["Apu"]
+    Aup = fu["Aup"]
     app = fu["app"]
+
+    if transpose and spec.mixed:
+
+        def M(r):
+            z_p = r[n_u:] / app
+            Ru = r[:n_u].reshape(disc.n_nodes, d) - Aup * z_p[:, None]
+            z_u = vcycle(Ru.reshape(-1))
+            return jnp.concatenate([z_u, z_p])
+
+        return M
 
     def M(r):
         r_u = r[:n_u]
@@ -429,7 +450,7 @@ class MGPrecondFactory:
             )
         self._pairs = pairs
 
-    def _make_recursive(self, J_e, diag, bc_dofs, op=None):
+    def _make_recursive(self, J_e, diag, bc_dofs, op=None, transpose=False):
         """Recursive multilevel V-cycle over the refinement chain;
         Chebyshev smoothing per level, EBE Galerkin coarse operators,
         dense base solve.  Pressure gets its own scalar chain through
@@ -603,7 +624,7 @@ class MGPrecondFactory:
             return z + fine_smooth(r3)
 
         if not spec.mixed:
-            return mixed_wrap(disc, vcycle, fu)
+            return mixed_wrap(disc, vcycle, fu, transpose=transpose)
 
         # ---- scalar pressure chain through the same transfers ---------
         pslots = np.array(
@@ -752,12 +773,25 @@ class MGPrecondFactory:
                 out = ebe_matvec_disc(J_e, disc, v)
                 return apply_dbcs_matvec(out, diag, v, bc_dofs)
 
-        def M(r):
-            z_u = vcycle(r[:n_u])
-            z = jnp.concatenate([z_u, jnp.zeros(n_p, z_u.dtype)])
-            r_p = (r - op_full(z))[n_u:]
-            z_p = p_vcycle(r_p)
-            return jnp.concatenate([z_u, z_p])
+        if transpose:
+
+            def M(r):
+                # mirrored sweep for transposed (adjoint) operators:
+                # p first, u corrected through the full coupling
+                z_p = p_vcycle(r[n_u:])
+                z = jnp.concatenate([jnp.zeros(n_u, z_p.dtype), z_p])
+                r_u = (r - op_full(z))[:n_u]
+                z_u = vcycle(r_u)
+                return jnp.concatenate([z_u, z_p])
+
+        else:
+
+            def M(r):
+                z_u = vcycle(r[:n_u])
+                z = jnp.concatenate([z_u, jnp.zeros(n_p, z_u.dtype)])
+                r_p = (r - op_full(z))[n_u:]
+                z_p = p_vcycle(r_p)
+                return jnp.concatenate([z_u, z_p])
 
         return M
 
@@ -778,14 +812,16 @@ class MGPrecondFactory:
         return Rc.reshape(-1)
 
     # -- per-Jacobian construction ----------------------------------------
-    def make(self, J_e, diag, bc_dofs, op=None):
+    def make(self, J_e, diag, bc_dofs, op=None, transpose=False):
         """Build the preconditioner callable for one assembled state.
 
         J_e: element Jacobians, elem-first (n_e, nde, nde) or trailing
         (nde, nde, E_pad).  `op` (the full assembled matvec) is used,
         when given, as the fine-level u-block apply."""
         if self.recursive:
-            return self._make_recursive(J_e, diag, bc_dofs, op)
+            return self._make_recursive(
+                J_e, diag, bc_dofs, op, transpose=transpose
+            )
         disc = self.disc
         d = self.d
         n_u = disc.n_dofs_u
@@ -864,4 +900,4 @@ class MGPrecondFactory:
             r3 = r - op_u(z)
             return z + smooth(r3)
 
-        return mixed_wrap(disc, vcycle, fu)
+        return mixed_wrap(disc, vcycle, fu, transpose=transpose)
