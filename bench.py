@@ -336,12 +336,18 @@ def _newton_fn(prob, dtype_str, mg, hoist=None):
         inner = jax.jit(body)
         return lambda *args: inner(*args, aux)
 
+    # MG transfer arrays hoisted alongside the disc arrays (the level-0
+    # P_nT is ~100 MB at 1.5M elements — embedded constants 413)
+    mg_hoist = mg.hoist_args() if mg is not None else None
+    import contextlib
+
     @jax.jit
-    def body_h(st, aux, x, x_prev, xi_prev, params, bc_dofs, bc_vals):
-        with disc.bind(st):
+    def body_h(st, mst, aux, x, x_prev, xi_prev, params, bc_dofs, bc_vals):
+        mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
+        with disc.bind(st), mg_ctx:
             return body(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux)
 
-    return lambda *args: body_h(hoist, aux, *args)
+    return lambda *args: body_h(hoist, mg_hoist, aux, *args)
 
 
 def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None):
@@ -366,7 +372,7 @@ def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None):
         out["preconditioner"] = "multigrid"
 
 
-def _make_adjoint_fn(prob, dtype_str, hoist=None):
+def _make_adjoint_fn(prob, dtype_str, hoist=None, mg=None):
     import jax
     import jax.numpy as jnp
 
@@ -381,7 +387,7 @@ def _make_adjoint_fn(prob, dtype_str, hoist=None):
         restart=150,
         refine_iters=0,
     )
-    adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, lin_cfg)
+    adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, lin_cfg, mg_factory=mg)
     adj.linear_cfg = lin_cfg  # keep the benchmark tolerance
     bc_dofs, _ = prob.dbcs.arrays(1.0)
     aux = prob.qoi.setup_step(1, 1.0, 1.0, 2.0)
@@ -397,15 +403,19 @@ def _make_adjoint_fn(prob, dtype_str, hoist=None):
     if hoist is None:
         return jax.jit(adjoint_step), f0, g0
 
+    mg_hoist = mg.hoist_args() if mg is not None else None
+    import contextlib
+
     @jax.jit
-    def step_h(st, *args):
-        with disc.bind(st):
+    def step_h(st, mst, *args):
+        mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
+        with disc.bind(st), mg_ctx:
             return adjoint_step(*args)
 
-    return (lambda *args: step_h(hoist, *args)), f0, g0
+    return (lambda *args: step_h(hoist, mg_hoist, *args)), f0, g0
 
 
-def _bench_adjoint(prob, out, dtype_str, iters, hoist=None):
+def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None):
     import jax
 
     disc = prob.disc
@@ -421,7 +431,7 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None):
                 return prob.assembler.local_solve(x, x_prev, xi_prev, params)
 
         loc = loc_h(hoist, x, x_prev, xi_prev, params)
-    jfn, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist)
+    jfn, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
     dt = timeit(
         jfn,
         (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0),
@@ -446,18 +456,28 @@ def run_mode(mode, dtype_str, n):
         # 10M-DOF north star (BASELINE.md 'Performance targets').  The
         # static index/geometry arrays are hoisted into jit arguments —
         # embedded-constant compiles overflow the axon remote-compile
-        # request (HTTP 413) at this size.
-        prob = build_problem(n, dtype_str)
+        # request (HTTP 413) at this size.  `n` is the EFFECTIVE edge
+        # resolution; the mesh is built as a base cube + a geometric
+        # refinement chain so the recursive multigrid preconditioner
+        # applies (the one-level precond stalls at relres ~4e-3 at 1M
+        # DOF — measured h-growth, the reason MueLu exists).
+        refs = int(os.environ.get("CALIBR8_BENCH_SCALE_REFINE", 3))
+        base_n = max(2, n >> refs) if refs else n
+        prob = build_problem(base_n, dtype_str, refinements=refs)
         disc = prob.disc
         hoist = disc.hoist_args(ell=True)
         out = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
+        if refs:
+            out["preconditioner"] = "multigrid"
         _bench_assembly(prob, out, 5, with_roofline=False, hoist=hoist)
         nwt = {}
-        _bench_newton(prob, nwt, dtype_str, 3, hoist=hoist)
+        _bench_newton(prob, nwt, dtype_str, 3, refinements=refs, hoist=hoist)
         out["newton_seconds"] = nwt["seconds"]
         out["newton_solve_relres"] = nwt["solve_relres"]
         adjd = {}
-        _bench_adjoint(prob, adjd, dtype_str, 3, hoist=hoist)
+        _bench_adjoint(
+            prob, adjd, dtype_str, 3, hoist=hoist, mg=prob.mg_factory
+        )
         out["adjoint_seconds"] = adjd["seconds"]
         out["adjoint_dof_per_s_per_chip"] = disc.n_dofs / adjd["seconds"]
         # north star: adjoint < 2 s/step at 10M DOF (BASELINE.md:53-59).

@@ -58,6 +58,10 @@ def supports_pallas(assembler) -> bool:
         # displacement-only plane-stress kernel path; finite-deformation
         # twins carry the z-stretch local variable for the PK1 pullback
         return spec.plane_stress and not spec.mixed
+    if getattr(bm, "displacement_only", False):
+        # displacement-formulation models (isotropic_elastic): the
+        # non-mixed momentum-rows kernel path, any dimension
+        return not spec.mixed
     return spec.mixed and not spec.plane_stress
 
 

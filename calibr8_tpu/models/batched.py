@@ -1918,8 +1918,59 @@ class BatchedHypoBarlat(BatchedHypoHill):
         )
 
 
+class BatchedIsotropicElastic:
+    """Trailing-layout twin of IsotropicElastic (models/elastic.py,
+    reference isotropic_elastic.cpp): DISPLACEMENT-only isotropic
+    elasticity — the full Cauchy stress lambda tr(eps) I + 2 mu eps
+    with the reference's 1-dof dummy local slot (xi = 0, C = xi).
+    Analytic kernel mode; the Pallas path uses the displacement-only
+    momentum rows (no pressure columns).
+
+    xi (1, E): [dummy]; params (2, E): [E, nu].
+    """
+
+    name = "isotropic_elastic"
+    analytic_solve = True
+    finite_deformation = False
+    displacement_only = True
+
+    def __init__(self, model):
+        self.model = model
+        self.dim = model.dim
+        self.nxi = 1
+        self.abs_tol = model.abs_tol
+
+    def local_solve(self, xipT, kinT, parT):
+        xiT = jnp.zeros_like(xipT)
+        path = jnp.zeros(xipT.shape[-1], jnp.int32)
+        return xiT, path, jnp.zeros_like(path)
+
+    def residual(self, xiT, xipT, kinT, parT, path):
+        return xiT
+
+    def cauchy(self, xiT, kinT, parT, pT):
+        """Full sigma (pT is ignored — no pressure dof)."""
+        Em, nu = parT[0], parT[1]
+        lam = Em * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+        mu = Em / (2.0 * (1.0 + nu))
+        eps = t_sym(kinT.grad_u)
+        return t_add_diag(2.0 * mu * eps, lam * t_trace(eps))
+
+    def dev_cauchy(self, xiT, kinT, parT):
+        return t_dev3(self.cauchy(xiT, kinT, parT, None))
+
+    def hydro_cauchy(self, xiT, kinT, parT):
+        Em, nu = parT[0], parT[1]
+        kappa = Em / (3.0 * (1.0 - 2.0 * nu))
+        return kappa * t_trace(t_sym(kinT.grad_u))
+
+    def pressure_scale_factor(self, parT):
+        return parT[0] / (3.0 * (1.0 - 2.0 * parT[1]))
+
+
 BATCHED_MODELS = {
     "elastic": BatchedElastic,
+    "isotropic_elastic": BatchedIsotropicElastic,
     "small_J2": BatchedSmallJ2,
     "hyper_J2": BatchedHyperJ2,
     "small_hill": BatchedSmallHill,

@@ -33,6 +33,8 @@ for plain (non-flexible) GMRES/CG.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -329,17 +331,22 @@ class MGPrecondFactory:
             dtype=np.int64,
         )
         self.uslots = uslots
-        # coarse u-dof ids per fine element u-slot and parent column
         conn = np.asarray(disc.conn)  # (n_e, npe)
-        pidx = idx[conn]  # (n_e, npe, K)
-        cd = np.zeros((disc.n_elem, npe * d, self.K), dtype=np.int64)
-        for l in range(npe):
-            for q in range(d):
-                cd[:, l * d + q, :] = pidx[:, l, :] * d + q
-        self.cd = jnp.asarray(cd)
-        self.wgt = jnp.asarray(
-            np.repeat(w[conn], d, axis=1), disc.dtype
-        )  # (n_e, npe*d, K)
+        # deep chains recurse level by level (_make_recursive) and
+        # never touch the composite maps — skip building them (cd alone
+        # is n_e * nde_u * K int64 = 1.2 GB at 1.5M elements)
+        self.recursive = base_mesh is not None and len(refine_chain) >= 3
+        if not self.recursive:
+            # coarse u-dof ids per fine element u-slot and parent column
+            pidx = idx[conn]  # (n_e, npe, K)
+            cd = np.zeros((disc.n_elem, npe * d, self.K), dtype=np.int64)
+            for l in range(npe):
+                for q in range(d):
+                    cd[:, l * d + q, :] = pidx[:, l, :] * d + q
+            self.cd = jnp.asarray(cd)
+            self.wgt = jnp.asarray(
+                np.repeat(w[conn], d, axis=1), disc.dtype
+            )  # (n_e, npe*d, K)
 
         # -- coarse-ELEMENT-block Galerkin maps --------------------------
         # every fine element's Galerkin contribution lands entirely in
@@ -365,6 +372,8 @@ class MGPrecondFactory:
             perm = np.array(
                 [row_of[conn64[k].tobytes()] for k in range(len(conn64))]
             )
+            self._perm = perm
+        if base_mesh is not None and not self.recursive:
             base_parent = ep[perm]  # (n_e_sorted,) base element id
             base_conn = np.asarray(base_mesh.conn)  # (n_ce, npe)
             n_ce = base_conn.shape[0]
@@ -407,12 +416,60 @@ class MGPrecondFactory:
                 cdofs=jnp.asarray(cdofs, jnp.int64),
                 n_ce=n_ce,
             )
-            self._perm = perm
 
         # recursive per-pair hierarchy for deep chains
-        self.recursive = base_mesh is not None and len(refine_chain) >= 3
         if self.recursive:
             self._build_pair_levels(disc, refine_chain, base_mesh)
+
+    # -- constant hoisting (axon remote-compile 413 at 1M+ DOF) ----------
+    _PAIR_HOIST = ("P_nT", "elem_parent", "pa", "pb", "parent_conn")
+
+    def hoist_args(self):
+        """Big static transfer arrays as a pytree to pass through jit
+        ARGUMENTS (mirrors Disc.hoist_args): the level-0 P_nT alone is
+        (npe, npe, n_elem) ~100 MB at 1.5M elements, and embedded-
+        constant compiles overflow the axon remote-compile request
+        (HTTP 413) there."""
+        st = {}
+        if self.recursive:
+            st["pairs"] = [
+                {k: pr[k] for k in self._PAIR_HOIST} for pr in self._pairs
+            ]
+        else:
+            st["cd"] = self.cd
+            st["wgt"] = self.wgt
+            if self._coarse_maps is not None:
+                st["coarse_maps"] = {
+                    k: self._coarse_maps[k]
+                    for k in ("P_locT", "base_parent", "cdofs")
+                }
+        return st
+
+    @contextlib.contextmanager
+    def bind(self, st):
+        """Temporarily substitute hoisted arrays (typically tracers)
+        while make()/the cycle are traced."""
+        olds = (
+            getattr(self, "_pairs", None),
+            getattr(self, "cd", None),
+            getattr(self, "wgt", None),
+            self._coarse_maps,
+        )
+        try:
+            if "pairs" in st:
+                self._pairs = [
+                    dict(pr, **hp) for pr, hp in zip(self._pairs, st["pairs"])
+                ]
+            if "cd" in st:
+                self.cd = st["cd"]
+                self.wgt = st["wgt"]
+            if "coarse_maps" in st:
+                self._coarse_maps = dict(
+                    self._coarse_maps, **st["coarse_maps"]
+                )
+            yield
+        finally:
+            self._pairs, self.cd, self.wgt, self._coarse_maps = olds
 
     def _build_pair_levels(self, disc, refine_chain, base_mesh):
         """Host maps for the recursive hierarchy: one entry per
@@ -435,11 +492,22 @@ class MGPrecondFactory:
             P_n = _pair_p_loc(
                 child_conn, parent_conn, node_parents, elem_parent
             )
+            # uniform refinement emits children GROUPED by parent
+            # (child i of parent i // k); when that holds the Galerkin
+            # child-reduce is a static reshape-sum instead of a
+            # segment_sum (detected host-side, so the jit program
+            # never carries the choice)
+            n_pe = parent_conn.shape[0]
+            k = len(elem_parent) // max(n_pe, 1)
+            grouped = len(elem_parent) == n_pe * k and np.array_equal(
+                elem_parent, np.repeat(np.arange(n_pe), k)
+            )
             pairs.append(
                 dict(
                     P_nT=jnp.asarray(
                         np.moveaxis(P_n, 0, -1), disc.dtype
                     ),  # (npe, npe, n_e_child)
+                    group_k=k if grouped else None,
                     elem_parent=jnp.asarray(elem_parent, jnp.int32),
                     pa=jnp.asarray(node_parents[:, 0], jnp.int32),
                     pb=jnp.asarray(node_parents[:, 1], jnp.int32),
@@ -478,21 +546,59 @@ class MGPrecondFactory:
         cheb_deg = getattr(self, "cheb_degree", 6)
         cheb_ratio = getattr(self, "cheb_ratio", 12.0)
 
+        def _reduce_child(pr):
+            """(E_child,) -> (E_parent,) sum over children, per vector.
+            Uniform refinement emits children GROUPED by parent, so the
+            reduce is a static reshape-sum there; otherwise one rank-1
+            segment_sum.  Rank-1 keeps everything off the tile-padded
+            layouts (an (npe, d, npe, d, E) einsum intermediate padded
+            32x -> 27 GB at 1.5M elements)."""
+            k = pr.get("group_k")
+            if k is not None:
+                n_p = pr["n_parent_elems"]
+                return lambda v: v.reshape(n_p, k).sum(axis=-1)
+            return lambda v: jax.ops.segment_sum(
+                v, pr["elem_parent"], num_segments=pr["n_parent_elems"]
+            )
+
         def galerkin_u(JT, pr):
-            """(nde_u, nde_u, E_child) -> (nde_u, nde_u, E_parent)."""
-            E_c = JT.shape[-1]
-            J5 = JT.reshape(npe, d, npe, d, E_c)
-            G = jnp.einsum(
-                "lce,lqmre,mde->cqdre", pr["P_nT"], J5, pr["P_nT"]
-            ).reshape(npe * d, npe * d, E_c)
-            Gp = jax.ops.segment_sum(
-                jnp.moveaxis(G, -1, 0).reshape(E_c, -1),
-                pr["elem_parent"],
-                num_segments=pr["n_parent_elems"],
-            )
-            return jnp.moveaxis(
-                Gp.reshape(-1, npe * d, npe * d), 0, -1
-            )
+            """(nde_u, nde_u, E_child) -> (nde_u, nde_u, E_parent) as
+            unrolled trailing-layout lane FMAs (NOT a rank-5 einsum —
+            XLA materializes those with the tiny dims on the tiled
+            axes, 32x HBM padding)."""
+            P = pr["P_nT"]  # (npe, npe, E_c)
+            red = _reduce_child(pr)
+            # stage 1: H[l][q][dd][r] = sum_m JT[l d + q, m d + r] P[m, dd]
+            H = [
+                [
+                    [[None] * d for _ in range(npe)]
+                    for _ in range(d)
+                ]
+                for _ in range(npe)
+            ]
+            for l in range(npe):
+                for q in range(d):
+                    for dd in range(npe):
+                        for r2 in range(d):
+                            acc = JT[l * d + q, r2] * P[0, dd]
+                            for m in range(1, npe):
+                                acc = acc + (
+                                    JT[l * d + q, m * d + r2] * P[m, dd]
+                                )
+                            H[l][q][dd][r2] = acc
+            # stage 2 + child reduce: G[c d + q, dd d + r]
+            rows = []
+            for c in range(npe):
+                for q in range(d):
+                    cols = []
+                    for dd in range(npe):
+                        for r2 in range(d):
+                            acc = P[0, c] * H[0][q][dd][r2]
+                            for l in range(1, npe):
+                                acc = acc + P[l, c] * H[l][q][dd][r2]
+                            cols.append(red(acc))
+                    rows.append(jnp.stack(cols, 0))
+            return jnp.stack(rows, 0)
 
         def mk_level_u(JT, conn, n_nodes):
             nde_u = npe * d
@@ -649,16 +755,26 @@ class MGPrecondFactory:
         Jp0 = J_pp * m_peT[:, None, :] * m_peT[None, :, :]
 
         def galerkin_p(JT, pr):
-            E_c = JT.shape[-1]
-            G = jnp.einsum(
-                "lce,lme,mde->cde", pr["P_nT"], JT, pr["P_nT"]
-            )
-            Gp = jax.ops.segment_sum(
-                jnp.moveaxis(G, -1, 0).reshape(E_c, -1),
-                pr["elem_parent"],
-                num_segments=pr["n_parent_elems"],
-            )
-            return jnp.moveaxis(Gp.reshape(-1, npe, npe), 0, -1)
+            """Scalar analog of galerkin_u (same unrolled FMA form)."""
+            P = pr["P_nT"]
+            red = _reduce_child(pr)
+            H = [[None] * npe for _ in range(npe)]
+            for l in range(npe):
+                for dd in range(npe):
+                    acc = JT[l, 0] * P[0, dd]
+                    for m in range(1, npe):
+                        acc = acc + JT[l, m] * P[m, dd]
+                    H[l][dd] = acc
+            rows = []
+            for c in range(npe):
+                cols = []
+                for dd in range(npe):
+                    acc = P[0, c] * H[0][dd]
+                    for l in range(1, npe):
+                        acc = acc + P[l, c] * H[l][dd]
+                    cols.append(red(acc))
+                rows.append(jnp.stack(cols, 0))
+            return jnp.stack(rows, 0)
 
         def mk_level_p(JT, conn, n_nodes):
             def op_l(v):

@@ -96,6 +96,14 @@ CASES = [
         "mechanics",
     ),
     (
+        "isotropic_elastic",
+        {"type": "cube", "n": 2},
+        "isotropic_elastic",
+        {"E": 1000.0, "nu": 0.25},
+        BCS_3D(0.02),
+        "mechanics",
+    ),
+    (
         "small_hill_plane_stress",
         {"type": "notch2D", "h": 0.3},
         "small_hill_plane_stress",
@@ -170,7 +178,8 @@ def _state(prob, scale):
     return x, disc.zero_x(), xi_prev
 
 
-FAST = {"small_J2", "small_hill_plane_stress", "small_hill_plane_strain"}
+FAST = {"small_J2", "small_hill_plane_stress", "small_hill_plane_strain",
+        "isotropic_elastic"}
 # both kernel modes + the plane-stress and 2D-mixed paths; the implicit
 # 3D twins take minutes in interpret mode and run in the slow suite
 
@@ -197,6 +206,10 @@ def test_pallas_twin_matches_generic_slow(name, mesh, model, mats, bcs, gtype):
 
 def _run_twin_case(name, mesh, model, mats, bcs, gtype):
     deck = make_deck(mesh, model, mats, bcs, 1, global_type=gtype)
+    if name == "isotropic_elastic":
+        # displacement formulation (no u/p mixing) — the non-mixed
+        # 3D kernel path
+        deck["residuals"]["global residual"]["mixed formulation"] = False
     prob = Problem(load_deck(deck))
     a = prob.assembler
     assert pallas_assembly.supports_pallas(a), f"{name}: twin not wired"
