@@ -1918,6 +1918,64 @@ class BatchedHypoBarlat(BatchedHypoHill):
         )
 
 
+class BatchedHybridHyperJ2PlaneStress(BatchedHyperJ2PlaneStress):
+    """Trailing-layout twin of HybridHyperJ2PlaneStress
+    (models/hybrid.py, reference hybrid_hyper_J2_plane_stress.cpp):
+    the finite-deformation plane-stress J2 twin with the hardening
+    curve replaced by the embedded feed-forward network,
+
+        sigma_yield(alpha) = Y + out_scale*(NN(in_scale*alpha) - NN(0))
+
+    (hybrid_hyper_J2_plane_stress.cpp:187-194).  The NN weights ride
+    in parT rows n_base.. (the same flat packing as models/nn.py FFNN:
+    per layer W row-major then b), and the forward pass unrolls per
+    unit as lane FMAs + activation — a scalar-chain network (topology
+    [1, H, 1]) costs ~3H vector ops per local-Newton residual, all
+    Mosaic-lowerable (exp only).  The implicit local solve and its
+    kernel-side linearization come from the parent twin unchanged:
+    derivatives flow through the traced NN just like the analytic Voce
+    branch (the reference needs a separate dynamic-FAD type for this,
+    evaluations.cpp:870-880).
+    """
+
+    name = "hybrid_hyper_J2_plane_stress"
+
+    def __init__(self, model):
+        super().__init__(model)
+        self.nn = model.nn
+        self.n_base = len(model.base_param_names)
+        self.in_scale = model.nn_input_scale
+        self.out_scale = model.nn_output_scale
+
+    def _nn_eval(self, x, parT):
+        """FFNN forward over lane vectors: x (E,) -> (E,).  Weights
+        are parT rows (scalar per element); hidden layers use the
+        activation, the output layer is affine (models/nn.py FFNN)."""
+        act = self.nn.act
+        idx = self.n_base
+        h = [x]
+        n_layers = len(self.nn.shapes)
+        for li, (r, c) in enumerate(self.nn.shapes):
+            W = parT[idx : idx + r * c]
+            b = parT[idx + r * c : idx + r * c + r]
+            idx += r * c + r
+            out = []
+            for i in range(r):
+                acc = W[i * c] * h[0] + b[i]
+                for j in range(1, c):
+                    acc = acc + W[i * c + j] * h[j]
+                out.append(acc if li == n_layers - 1 else act(acc))
+            h = out
+        return h[0]
+
+    def _sigma_yield(self, alpha, parT):
+        Y = parT[2]
+        dnn = self._nn_eval(
+            self.in_scale * alpha, parT
+        ) - self._nn_eval(jnp.zeros_like(alpha), parT)
+        return Y + self.out_scale * dnn
+
+
 class BatchedIsotropicElastic:
     """Trailing-layout twin of IsotropicElastic (models/elastic.py,
     reference isotropic_elastic.cpp): DISPLACEMENT-only isotropic
@@ -1971,6 +2029,7 @@ class BatchedIsotropicElastic:
 BATCHED_MODELS = {
     "elastic": BatchedElastic,
     "isotropic_elastic": BatchedIsotropicElastic,
+    "hybrid_hyper_J2_plane_stress": BatchedHybridHyperJ2PlaneStress,
     "small_J2": BatchedSmallJ2,
     "hyper_J2": BatchedHyperJ2,
     "small_hill": BatchedSmallHill,

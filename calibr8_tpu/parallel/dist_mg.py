@@ -150,9 +150,12 @@ class DistAMG:
                 num_segments=n1 * K1 + 1,
             )
         )(G, self.emap_part)
-        A1 = jnp.sum(A1_parts, axis=0)[:-1].reshape(n1, K1, m, m)
+        A1 = jnp.sum(A1_parts, axis=0)[:-1]  # (n1*K1, m*m)
+        # _u_chain consumes the replicated level-1 blocks in TRAILING
+        # layout (m, m, n1*K1) — see solve/amg.py layout rationale
+        A1_T = A1.T.reshape(m, m, n1 * K1)
 
-        cycle = f._u_chain(A1, dtype)
+        cycle = f._u_chain(A1_T, dtype)
 
         # ---- fine level (sharded) -------------------------------------
         blocks = ctx.node_blocks(J_T)  # (P, N_own, ndpn, ndpn)

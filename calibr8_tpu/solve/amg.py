@@ -43,6 +43,8 @@ the geometric factory (solve/mg.py fine_u_setup / mixed_wrap).
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -276,13 +278,24 @@ def _chebyshev(matvec, dinv_apply, lmax, degree: int, ratio: float):
 
 
 class _Level:
-    """Static (host-built) data for one coarse level."""
+    """Static (host-built) data for one coarse level.
+
+    Interpolation blocks are stored twice: `P` as HOST numpy in the
+    natural (n_prev, bs_prev, m) order (setup-time consumers — the
+    dist wrapper gathers per-part slices from it host-side), and `PT`
+    as the DEVICE array in TRAILING layout (bs_prev, m, n_prev).  The
+    trailing copy is the only one touched under jit: a device-resident
+    (n_prev, 3, 6) batch-first array tile-pads to (n_prev, 8, 128) —
+    44-68x HBM waste on exactly the arrays every cycle reads (the
+    CLAUDE.md TPU layout rule)."""
 
     __slots__ = (
-        "n", "K", "agg_prev", "nbr", "emap", "diag_slot", "n_prev", "P",
+        "n", "K", "agg_prev", "nbr", "emap", "diag_slot", "n_prev",
+        "P", "PT",
     )
 
-    def __init__(self, n, K, agg_prev, nbr, emap, diag_slot, n_prev, P):
+    def __init__(self, n, K, agg_prev, nbr, emap, diag_slot, n_prev, P,
+                 dtype):
         self.n = n  # aggregates (block-rows) at this level
         self.K = K  # ELL width
         self.agg_prev = agg_prev  # (n_prev,) aggregate of each finer node
@@ -290,7 +303,8 @@ class _Level:
         self.emap = emap  # flat targets for the Galerkin segment_sum
         self.diag_slot = diag_slot  # (n,) flat slot of the diagonal block
         self.n_prev = n_prev
-        self.P = P  # (n_prev, bs_prev, m) interpolation block per fine row
+        self.P = np.asarray(P)  # host (n_prev, bs_prev, m)
+        self.PT = jnp.asarray(np.moveaxis(self.P, 0, -1), dtype)
 
 
 class AMGPrecondFactory:
@@ -361,7 +375,8 @@ class AMGPrecondFactory:
                 jnp.asarray(emap1.astype(np.int32)),
                 jnp.asarray(diag1.astype(np.int32)),
                 n_nodes,
-                jnp.asarray(B, disc.dtype),
+                B,
+                disc.dtype,
             )
         ]
 
@@ -404,7 +419,8 @@ class AMGPrecondFactory:
                     jnp.asarray(emap.astype(np.int32)),
                     jnp.asarray(diag_c.astype(np.int32)),
                     n_prev,
-                    jnp.asarray(T, disc.dtype),
+                    T,
+                    disc.dtype,
                 )
             )
             nbr_prev, n_prev = nbr_c, n_c
@@ -415,56 +431,118 @@ class AMGPrecondFactory:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _ell_matvec(A, nbr, v, n, bs):
-        X = v.reshape(n, bs)
-        Xp = jnp.concatenate([X, jnp.zeros((1, bs), X.dtype)], axis=0)
-        return jnp.einsum("nkij,nkj->ni", A, Xp[nbr]).reshape(-1)
+    def _ell_matvec(A_T, nbr, v, n, bs):
+        """Block-ELL matvec in TRAILING layout: A_T (bs, bs, n*K),
+        nbr (n, K) with pad = n.  Unrolled lane FMAs over the flat
+        entry axis + a static reshape-reduce over the K slots — no
+        (n, K, bs, bs) batch-first operand ever materializes (that
+        layout tile-pads the (6, 6) minor dims 44x on TPU)."""
+        K = nbr.shape[1]
+        XT = v.reshape(n, bs).T  # (bs, n)
+        XpT = jnp.concatenate(
+            [XT, jnp.zeros((bs, 1), XT.dtype)], axis=1
+        )
+        Xg = XpT[:, nbr.reshape(-1)]  # (bs, n*K)
+        outs = []
+        for i in range(bs):
+            acc = A_T[i, 0] * Xg[0]
+            for j in range(1, bs):
+                acc = acc + A_T[i, j] * Xg[j]
+            outs.append(acc.reshape(n, K).sum(axis=-1))
+        return jnp.stack(outs, axis=-1).reshape(-1)
 
-    def _u_chain(self, A1, dtype):
+    @staticmethod
+    def _t_block_apply(M_T, v, n, bs):
+        """Block-diagonal apply in trailing layout: M_T (bs, bs, n)."""
+        RT = v.reshape(n, bs).T
+        outs = []
+        for i in range(bs):
+            acc = M_T[i, 0] * RT[0]
+            for j in range(1, bs):
+                acc = acc + M_T[i, j] * RT[j]
+            outs.append(acc)
+        return jnp.stack(outs, axis=-1).reshape(-1)
+
+    def _t_diag_inv(self, A_T, lv, dtype):
+        """Trailing (m, m, n) inverse of the diagonal blocks.  The
+        batched Gauss solve itself runs batch-first on a TRANSIENT
+        (n, m, m) copy (setup-time only, once per Newton step); the
+        persistent result is stored trailing."""
+        m = self.m
+        eye = jnp.eye(m, dtype=dtype)
+        Db = jnp.moveaxis(A_T[:, :, lv.diag_slot], -1, 0)  # (n, m, m)
+        # aggregates with dead modes (all-Dirichlet, or a zero
+        # rotation column) get identity rows so the block solve
+        # stays finite; their residual components are zero there
+        dgb = jnp.abs(jnp.diagonal(Db, axis1=1, axis2=2))
+        fix = (dgb < 1e-30).astype(dtype)
+        Db = Db + fix[:, :, None] * eye[None]
+        Dinv = gauss_solve(
+            Db, jnp.broadcast_to(eye, Db.shape), pivot=True
+        )
+        return jnp.moveaxis(Dinv, 0, -1)  # (m, m, n)
+
+    def _u_chain(self, A1_T, dtype):
         """Levels >= 1 of the u-block hierarchy from the replicated
-        level-1 Galerkin ELL blocks A1 (n1, K1, m, m): coarser Galerkin
-        products, per-level Chebyshev smoothers, dense coarsest solve.
-        Returns cycle(0, r1) — the V/W-cycle entered at level 1.
-        Shared by the single-device make() and the dist preconditioner
-        (parallel/dist_mg.py), where A1 arrives via a psum."""
+        level-1 Galerkin ELL blocks in TRAILING layout A1_T
+        (m, m, n1*K1): coarser Galerkin products, per-level Chebyshev
+        smoothers, dense coarsest solve.  Returns cycle(0, r1) — the
+        V/W-cycle entered at level 1.  Shared by the single-device
+        make() and the dist preconditioner (parallel/dist_mg.py),
+        where the level-1 blocks arrive via a psum."""
         m = self.m
         omega = self.omega
         kappa = self.overcorr
         gamma = self.gamma
         levels = self.levels
-        A = A1
-        ops = []  # per coarse level: (A, nbr, Dinv, n)
-        eye = jnp.eye(m, dtype=dtype)
+        A_T = A1_T
+        ops = []  # per coarse level: (A_T, nbr, Dinv_T, n)
         for li, lv in enumerate(self.levels):
             if li > 0:
-                # T^T A T per previous-level ELL entry, one segment_sum
+                # T^T A T per previous-level ELL entry: unrolled
+                # trailing FMAs + ONE (N, m*m) segment_sum
                 n_p, K_p = lv.n_prev, self.levels[li - 1].K
-                TI = jnp.repeat(lv.P, K_p, axis=0)  # (n_p*K_p, m, m)
+                PT = lv.PT  # (m, m, n_p)
                 j = self.levels[li - 1].nbr.reshape(-1)
-                TJ = lv.P[jnp.where(j < n_p, j, 0)]
-                G = jnp.einsum(
-                    "pim,pij,pjn->pmn", TI, A.reshape(-1, m, m), TJ
-                )
-                A = jax.ops.segment_sum(
-                    G.reshape(-1, m * m),
-                    lv.emap,
-                    num_segments=lv.n * lv.K + 1,
-                )[:-1].reshape(lv.n, lv.K, m, m)
-            Db = A.reshape(lv.n * lv.K, m, m)[lv.diag_slot]
-            # aggregates with dead modes (all-Dirichlet, or a zero
-            # rotation column) get identity rows so the block solve
-            # stays finite; their residual components are zero there
-            dgb = jnp.abs(jnp.diagonal(Db, axis1=1, axis2=2))
-            fix = (dgb < 1e-30).astype(dtype)
-            Db = Db + fix[:, :, None] * eye[None]
-            Dinv = gauss_solve(
-                Db, jnp.broadcast_to(eye, Db.shape), pivot=True
-            )
-            ops.append((A, lv.nbr, Dinv, lv.n))
+                jc = jnp.where(j < n_p, j, 0)
+                # row transform Ti / column transform Tj per flat entry
+                Ti = [
+                    [jnp.repeat(PT[i, mm], K_p) for mm in range(m)]
+                    for i in range(m)
+                ]
+                Tj = [
+                    [PT[i, mm][jc] for mm in range(m)]
+                    for i in range(m)
+                ]
+                # H[j][mm] = sum_i Ti[i][mm] * A_T[i, j]
+                H = [
+                    [None] * m for _ in range(m)
+                ]
+                for jj in range(m):
+                    for mm in range(m):
+                        acc = Ti[0][mm] * A_T[0, jj]
+                        for i in range(1, m):
+                            acc = acc + Ti[i][mm] * A_T[i, jj]
+                        H[jj][mm] = acc
+                cols = []
+                for mm in range(m):
+                    for nn in range(m):
+                        acc = H[0][mm] * Tj[0][nn]
+                        for jj in range(1, m):
+                            acc = acc + H[jj][mm] * Tj[jj][nn]
+                        cols.append(acc)
+                G = jnp.stack(cols, axis=-1)  # (n_p*K_p, m*m)
+                Ac = jax.ops.segment_sum(
+                    G, lv.emap, num_segments=lv.n * lv.K + 1
+                )[:-1]  # (n*K, m*m)
+                A_T = Ac.T.reshape(m, m, lv.n * lv.K)
+            Dinv_T = self._t_diag_inv(A_T, lv, dtype)
+            ops.append((A_T, lv.nbr, Dinv_T, lv.n))
 
-        # coarsest: dense
-        A_L, nbr_L, _, n_L = ops[-1]
+        # coarsest: dense (small — batch-first transient is fine here)
+        A_TL, nbr_L, _, n_L = ops[-1]
         K_L = nbr_L.shape[1]
+        A_L = jnp.moveaxis(A_TL, -1, 0).reshape(n_L, K_L, m, m)
         iL = jnp.repeat(jnp.arange(n_L), K_L)
         jL = nbr_L.reshape(-1).astype(jnp.int64)
         okL = jL < n_L
@@ -484,16 +562,28 @@ class AMGPrecondFactory:
         coarse_solve = _coarse_dense_solver(A_dense)
 
         def restrict(lv, r):
-            R = jnp.einsum(
-                "nim,ni->nm", lv.P, r.reshape(lv.n_prev, m)
-            )
+            # T^T r per fine row (trailing FMAs), then sum by aggregate
+            RT = r.reshape(lv.n_prev, m).T  # (m, n_prev)
+            cols = []
+            for mm in range(m):
+                acc = lv.PT[0, mm] * RT[0]
+                for i in range(1, m):
+                    acc = acc + lv.PT[i, mm] * RT[i]
+                cols.append(acc)
+            R = jnp.stack(cols, axis=-1)  # (n_prev, m)
             return jax.ops.segment_sum(
                 R, lv.agg_prev, num_segments=lv.n
             ).reshape(-1)
 
         def prolong(lv, ec):
-            E = ec.reshape(lv.n, m)[lv.agg_prev]
-            return jnp.einsum("nim,nm->ni", lv.P, E).reshape(-1)
+            ET = ec.reshape(lv.n, m)[lv.agg_prev].T  # (m, n_prev)
+            outs = []
+            for i in range(m):
+                acc = lv.PT[i, 0] * ET[0]
+                for mm in range(1, m):
+                    acc = acc + lv.PT[i, mm] * ET[mm]
+                outs.append(acc)
+            return jnp.stack(outs, axis=-1).reshape(-1)
 
         def lvl_op(li, v):
             A_l, nbr_l, _, n = ops[li]
@@ -502,11 +592,9 @@ class AMGPrecondFactory:
         # per-level smoothers: Chebyshev on D^-1 A (the aggregation-AMG
         # workhorse — damped Jacobi alone loses h-independence)
         smoothers = []
-        for li, (A_l, nbr_l, Dinv, n) in enumerate(ops):
-            def dinv_apply(r, Dinv=Dinv, n=n):
-                return jnp.einsum(
-                    "nij,nj->ni", Dinv, r.reshape(n, m)
-                ).reshape(-1)
+        for li, (A_l, nbr_l, Dinv_T, n) in enumerate(ops):
+            def dinv_apply(r, Dinv_T=Dinv_T, n=n):
+                return self._t_block_apply(Dinv_T, r, n, m)
 
             mv = lambda v, li=li: lvl_op(li, v)
             if self.smoother == "chebyshev":
@@ -536,6 +624,40 @@ class AMGPrecondFactory:
 
         return cycle
 
+    # -- constant hoisting (axon remote-compile 413 at 1M+ DOF) --------
+    _LV_HOIST = ("PT", "nbr", "emap", "agg_prev", "diag_slot")
+
+    def hoist_args(self):
+        """Big static per-level arrays as a pytree to pass through jit
+        ARGUMENTS (same interface as MGPrecondFactory.hoist_args /
+        Disc.hoist_args): the level-1 emap alone is n_e*npe^2 int32
+        ~100 MB at 1.5M elements, and embedded-constant compiles
+        overflow the axon remote-compile request (HTTP 413) there."""
+        return {
+            "levels": [
+                {k: getattr(lv, k) for k in self._LV_HOIST}
+                for lv in self.levels
+            ]
+        }
+
+    @contextlib.contextmanager
+    def bind(self, st):
+        """Temporarily substitute hoisted arrays (typically tracers)
+        while make()/the cycle are traced."""
+        olds = [
+            {k: getattr(lv, k) for k in self._LV_HOIST}
+            for lv in self.levels
+        ]
+        try:
+            for lv, hv in zip(self.levels, st["levels"]):
+                for k, v in hv.items():
+                    setattr(lv, k, v)
+            yield
+        finally:
+            for lv, ov in zip(self.levels, olds):
+                for k, v in ov.items():
+                    setattr(lv, k, v)
+
     def level1_restrict_maps(self):
         """Static (host) data a dist caller needs for the fine<->level-1
         transfers: per-node aggregate ids and rigid-mode blocks."""
@@ -559,42 +681,78 @@ class AMGPrecondFactory:
         m_eT = fu["m_eT"]
         dtype = fu["dtype"]
 
-        # Dirichlet-masked u-block element Jacobians as elem-first
-        # node-pair blocks (n_e, npe, npe, d, d)
-        if fu["trailing"]:
-            JT = fu["J_uuT"]  # (nde_u, nde_u, n_e)
-        else:
-            JT = jnp.moveaxis(fu["J_uu"], 0, -1)
-        JTm = JT * m_eT[:, None, :] * m_eT[None, :, :]
-        Jblk = JTm.reshape(npe, d, npe, d, n_e).transpose(4, 0, 2, 1, 3)
+        # Dirichlet-masked u-block element Jacobians through the LAZY
+        # slice accessor (mg.py fine_u_setup jt_mask) — materializing
+        # the masked (nde_u, nde_u, n_e) copy is a 1.12 GB HLO buffer
+        # at 1.5M elements
+        jt = fu["jt_mask"]
 
-        # level 1 Galerkin: B^T J B per node pair, one segment_sum
+        # level 1 Galerkin: B^T J B per element node pair, assembled as
+        # unrolled trailing-layout lane FMAs + one (n_e, m*m)
+        # segment_sum per node pair.  (The previous einsum materialized
+        # (n_e, npe, npe, m, m) elem-first — the (6, 6) minor dims
+        # tile-pad ~44x on TPU, ~50 GB HBM at 1.5M elements.)
         lv1 = self.levels[0]
-        Bc = lv1.P[disc.conn]  # (n_e, npe, d, m)
-        G = jnp.einsum("eadm,eabdf,ebfn->eabmn", Bc, Jblk, Bc)
-        A = jax.ops.segment_sum(
-            G.reshape(n_e * npe * npe, m * m),
-            lv1.emap,
-            num_segments=lv1.n * lv1.K,
-        ).reshape(lv1.n, lv1.K, m, m)
+        PT1 = lv1.PT  # (d, m, n_nodes)
+        conn = disc.conn
+        emapE = lv1.emap.reshape(n_e, npe, npe)
+        BcT = [PT1[:, :, conn[:, a]] for a in range(npe)]  # (d, m, n_e)
+        A_acc = jnp.zeros((lv1.n * lv1.K, m * m), dtype)
+        for a in range(npe):
+            Ba = BcT[a]
+            for b in range(npe):
+                Bb = BcT[b]
+                # H[f][mm] = sum_dd Ba[dd, mm] * jt(a*d+dd, b*d+f)
+                H = [[None] * m for _ in range(d)]
+                for f in range(d):
+                    for mm in range(m):
+                        acc = Ba[0, mm] * jt(a * d, b * d + f)
+                        for dd in range(1, d):
+                            acc = acc + (
+                                Ba[dd, mm] * jt(a * d + dd, b * d + f)
+                            )
+                        H[f][mm] = acc
+                cols = []
+                for mm in range(m):
+                    for nn in range(m):
+                        acc = H[0][mm] * Bb[0, nn]
+                        for f in range(1, d):
+                            acc = acc + H[f][mm] * Bb[f, nn]
+                        cols.append(acc)
+                Gab = jnp.stack(cols, axis=-1)  # (n_e, m*m)
+                A_acc = A_acc + jax.ops.segment_sum(
+                    Gab, emapE[:, a, b], num_segments=lv1.n * lv1.K
+                )
+        A1_T = A_acc.T.reshape(m, m, lv1.n * lv1.K)
 
-        cycle = self._u_chain(A, dtype)
+        cycle = self._u_chain(A1_T, dtype)
 
         omega = self.omega
         kappa = self.overcorr
         levels = self.levels
 
         def restrict1(r):  # fine -> level 1: B^T per node, sum by agg
-            R = jnp.einsum(
-                "ndm,nd->nm", levels[0].P, r.reshape(disc.n_nodes, d)
-            )
+            RT = r.reshape(disc.n_nodes, d).T  # (d, n_nodes)
+            cols = []
+            for mm in range(m):
+                acc = PT1[0, mm] * RT[0]
+                for dd in range(1, d):
+                    acc = acc + PT1[dd, mm] * RT[dd]
+                cols.append(acc)
+            R = jnp.stack(cols, axis=-1)  # (n_nodes, m)
             return jax.ops.segment_sum(
                 R, levels[0].agg_prev, num_segments=levels[0].n
             ).reshape(-1)
 
         def prolong1(ec):
-            E = ec.reshape(levels[0].n, m)[levels[0].agg_prev]
-            return jnp.einsum("ndm,nm->nd", levels[0].P, E).reshape(-1)
+            ET = ec.reshape(levels[0].n, m)[levels[0].agg_prev].T
+            outs = []
+            for dd in range(d):
+                acc = PT1[dd, 0] * ET[0]
+                for mm in range(1, m):
+                    acc = acc + PT1[dd, mm] * ET[mm]
+                outs.append(acc)
+            return jnp.stack(outs, axis=-1).reshape(-1)
 
         # fine-level smoother to match
         Bu_inv = fu["Bu_inv"]

@@ -210,9 +210,31 @@ def fine_u_setup(disc, J_e, diag, bc_dofs, op, uslots, omega):
         )
         return omega * Z.reshape(-1)
 
+    # lazy MASKED u-block slice accessor for the Galerkin consumers:
+    # jt_mask(i, j) -> (n_e,) = (M J M)[u-slot i, u-slot j].  Slicing
+    # J_e directly keeps the whole product fused — materializing the
+    # masked copy (J_uuT * m * m) was a 1.12 GB HLO buffer at 1.5M
+    # elements (measured in the scale-run OOM report).
+    us_np = np.asarray(uslots)
+    n_e = disc.n_elem
+    if trailing:
+
+        def jt_mask(i, j):
+            return (
+                J_e[int(us_np[i]), int(us_np[j]), :n_e]
+                * m_eT[i]
+                * m_eT[j]
+            )
+
+    else:
+
+        def jt_mask(i, j):
+            return J_uu[:, i, j] * m_eT[i] * m_eT[j]
+
     return dict(
         trailing=trailing,
         J_uuT=J_uuT,
+        jt_mask=jt_mask,
         J_uu=J_uu,
         op_u=op_u,
         smooth=smooth,
@@ -537,12 +559,10 @@ class MGPrecondFactory:
         mask_u = fu["mask_u"]
         m_eT = fu["m_eT"]
         op_u = fu["op_u"]
-        J0 = (
-            fu["J_uuT"]
-            if fu["trailing"]
-            else jnp.moveaxis(fu["J_uu"], 0, -1)
-        )
-        J0 = J0 * m_eT[:, None, :] * m_eT[None, :, :]
+        # level-0 element blocks come through the LAZY masked accessor
+        # (fine_u_setup jt_mask) — materializing the masked copy was a
+        # 1.12 GB HLO buffer at 1.5M elements
+        jt0 = fu["jt_mask"]
         cheb_deg = getattr(self, "cheb_degree", 6)
         cheb_ratio = getattr(self, "cheb_ratio", 12.0)
 
@@ -555,20 +575,30 @@ class MGPrecondFactory:
             32x -> 27 GB at 1.5M elements)."""
             k = pr.get("group_k")
             if k is not None:
-                n_p = pr["n_parent_elems"]
-                return lambda v: v.reshape(n_p, k).sum(axis=-1)
+                # child j of parent i sits at i*k + j: strided rank-1
+                # slices, NOT v.reshape(n_p, k).sum(-1) — that reshape
+                # materializes an (n_p, k) temp whose k-lane minor dim
+                # tile-pads 16x (measured: ~20 live 96 MB temps = the
+                # 2.2 GB HBM overshoot at 1.5M elements)
+                def red(v, k=k):
+                    acc = v[0::k]
+                    for j in range(1, k):
+                        acc = acc + v[j::k]
+                    return acc
+
+                return red
             return lambda v: jax.ops.segment_sum(
                 v, pr["elem_parent"], num_segments=pr["n_parent_elems"]
             )
 
-        def galerkin_u(JT, pr):
-            """(nde_u, nde_u, E_child) -> (nde_u, nde_u, E_parent) as
-            unrolled trailing-layout lane FMAs (NOT a rank-5 einsum —
-            XLA materializes those with the tiny dims on the tiled
-            axes, 32x HBM padding)."""
+        def galerkin_u(jt, pr):
+            """element blocks (lazy slice accessor jt(i, j) -> (E_c,))
+            -> (nde_u, nde_u, E_parent) as unrolled trailing-layout
+            lane FMAs (NOT a rank-5 einsum — XLA materializes those
+            with the tiny dims on the tiled axes, 32x HBM padding)."""
             P = pr["P_nT"]  # (npe, npe, E_c)
             red = _reduce_child(pr)
-            # stage 1: H[l][q][dd][r] = sum_m JT[l d + q, m d + r] P[m, dd]
+            # stage 1: H[l][q][dd][r] = sum_m jt(l d + q, m d + r) P[m, dd]
             H = [
                 [
                     [[None] * d for _ in range(npe)]
@@ -580,10 +610,10 @@ class MGPrecondFactory:
                 for q in range(d):
                     for dd in range(npe):
                         for r2 in range(d):
-                            acc = JT[l * d + q, r2] * P[0, dd]
+                            acc = jt(l * d + q, r2) * P[0, dd]
                             for m in range(1, npe):
                                 acc = acc + (
-                                    JT[l * d + q, m * d + r2] * P[m, dd]
+                                    jt(l * d + q, m * d + r2) * P[m, dd]
                                 )
                             H[l][q][dd][r2] = acc
             # stage 2 + child reduce: G[c d + q, dd d + r]
@@ -653,13 +683,17 @@ class MGPrecondFactory:
             smooth = _chebyshev(op_l, dinv, lmax, cheb_deg, cheb_ratio)
             return op_l, smooth
 
-        # build the u chain: Galerkin down the pairs
+        # build the u chain: Galerkin down the pairs (level 0 through
+        # the lazy masked accessor; deeper levels are 8x smaller per
+        # step and slice their materialized parent blocks)
         L = len(self._pairs)
-        J_l = J0
+        jt_l = jt0
+        J_l = None
         level_ops = []  # (op_l, smooth_l) for levels 1..L-1
         for l in range(L):
             pr = self._pairs[l]
-            J_l = galerkin_u(J_l, pr)
+            J_l = galerkin_u(jt_l, pr)
+            jt_l = lambda i, j, J=J_l: J[i, j]
             if l < L - 1:
                 level_ops.append(
                     mk_level_u(
@@ -752,18 +786,22 @@ class MGPrecondFactory:
         diag_p = diag[n_u:]
         mask_p = jnp.where(bc_p, 0.0, 1.0).astype(dtype)
         m_peT = mask_p[disc.conn].T
-        Jp0 = J_pp * m_peT[:, None, :] * m_peT[None, :, :]
 
-        def galerkin_p(JT, pr):
-            """Scalar analog of galerkin_u (same unrolled FMA form)."""
+        def jp0(l_, m_):
+            # lazy masked p-block slice (same rationale as jt_mask)
+            return J_pp[l_, m_] * m_peT[l_] * m_peT[m_]
+
+        def galerkin_p(jp, pr):
+            """Scalar analog of galerkin_u (same unrolled FMA form,
+            lazy slice accessor jp(l, m) -> (E_c,))."""
             P = pr["P_nT"]
             red = _reduce_child(pr)
             H = [[None] * npe for _ in range(npe)]
             for l in range(npe):
                 for dd in range(npe):
-                    acc = JT[l, 0] * P[0, dd]
+                    acc = jp(l, 0) * P[0, dd]
                     for m in range(1, npe):
-                        acc = acc + JT[l, m] * P[m, dd]
+                        acc = acc + jp(l, m) * P[m, dd]
                     H[l][dd] = acc
             rows = []
             for c in range(npe):
@@ -803,11 +841,13 @@ class MGPrecondFactory:
             smooth = _chebyshev(op_l, dinv, lmax, cheb_deg, cheb_ratio)
             return op_l, smooth
 
-        Jp_l = Jp0
+        jp_l = jp0
+        Jp_l = None
         p_level_ops = []
         for l in range(L):
             pr = self._pairs[l]
-            Jp_l = galerkin_p(Jp_l, pr)
+            Jp_l = galerkin_p(jp_l, pr)
+            jp_l = lambda i, j, J=Jp_l: J[i, j]
             if l < L - 1:
                 p_level_ops.append(
                     mk_level_p(

@@ -102,7 +102,13 @@ def test_amg_smb_mesh_iteration_counts():
         prob = Problem(load_deck(deck), mesh=mesh)
         # no refine chain -> the 'multigrid' key routes to aggregation
         assert isinstance(prob.mg_factory, AMGPrecondFactory)
-        its[L], conv = _iters(prob, "amg")
+        # probe at 1e-8: below that the L=1 relres curve is FLAT (the
+        # f64 floor of this preconditioned system) and the final
+        # crossing of a 1e-10 tol moves tens of iterations under
+        # eps-level summation-order changes — measured 61 vs 82 iters
+        # for two bit-equivalent (to 2e-17 per apply) cycle builds.
+        # h-robustness lives in the converging regime, so test there.
+        its[L], conv = _iters(prob, "amg", tol=1e-8)
         assert conv, f"AMG-preconditioned gmres stalled at L={L}"
     assert its[1] <= 2.5 * its[0], its
 

@@ -154,6 +154,14 @@ CASES = [
         BCS_2D(0.01),
         "mechanics_plane_stress",
     ),
+    (
+        "hybrid_hyper_J2_plane_stress",
+        {"type": "notch2D", "h": 0.3},
+        "hybrid_hyper_J2_plane_stress",
+        {"E": 1000.0, "nu": 0.25, "Y": 10.0},
+        BCS_2D(0.01),
+        "mechanics_plane_stress",
+    ),
 ]
 
 
@@ -210,6 +218,13 @@ def _run_twin_case(name, mesh, model, mats, bcs, gtype):
         # displacement formulation (no u/p mixing) — the non-mixed
         # 3D kernel path
         deck["residuals"]["global residual"]["mixed formulation"] = False
+    if name == "hybrid_hyper_J2_plane_stress":
+        deck["residuals"]["local residual"]["embedded model"] = {
+            "activation function": "sigmoid",
+            "topology": [1, 4, 1],
+            "input scale": 1.0,
+            "output scale": 10.0,
+        }
     prob = Problem(load_deck(deck))
     a = prob.assembler
     assert pallas_assembly.supports_pallas(a), f"{name}: twin not wired"
