@@ -670,12 +670,18 @@ class DistContext:
 
         # GMRES with MANUAL guarded restarts from the true residual
         # (see solve/linear.py) — cfg.max_iters counts TOTAL inner
-        # iterations; converged cycles exit immediately
+        # iterations.  RIGHT preconditioning (operator = op∘M, dx =
+        # M y): jax gmres's left-applied M would minimize the
+        # PRECONDITIONED residual, a wildly distorted norm under the
+        # mixed u/p block preconditioner (see solve/linear.py).
         restart = min(cfg.restart, n)
         n_outer = (
             max(1, -(-cfg.max_iters // restart)) + max(cfg.refine_iters, 1)
         )
         atol = cfg.tol * norm_b
+
+        def opM(v):
+            return op(M(v))
 
         def cond_fn(c):
             _, it, _, done = c
@@ -685,17 +691,17 @@ class DistContext:
             x, it, stag, _ = c
             r = b - op(x)
             rn = jnp.sqrt(jnp.vdot(r, r).real)
-            dx, _ = jax.scipy.sparse.linalg.gmres(
-                op,
+            dy, _ = jax.scipy.sparse.linalg.gmres(
+                opM,
                 r,
                 tol=0.0,
                 atol=atol,
                 maxiter=1,
                 restart=restart,
-                M=M,
+                M=None,
                 solve_method="batched",
             )
-            cand = x + dx
+            cand = x + M(dy)
             rn_new = jnp.sqrt(
                 jnp.vdot(b - op(cand), b - op(cand)).real
             )
