@@ -30,6 +30,15 @@ modes; SIGTERM/SIGINT print the final line before exiting; and a
 persistent compilation cache (.jax_cache/) makes reruns skip the
 5-20 min TPU compiles.  Sub-benchmarks run in subprocesses
 (`bench.py --mode ... --dtype ...`) so each gets a clean x64 config.
+
+Even fully warm, the whole sweep exceeds a ~19 min budget (the scale
+mode alone is ~10 min of host mesh setup + timed steps), so every
+successful TPU sub-benchmark also persists its result JSON to
+.bench_results/ (git-sha + timestamp stamped).  When the deadline cuts
+a mode — or a transient tunnel error kills it — the orchestrator falls
+back to that prior measured result, clearly labeled with
+"cached": true, "measured_at_git"/"cached_age_s", so the record is
+complete AND honest about which numbers are live vs. prior-run.
 """
 
 import argparse
@@ -41,11 +50,57 @@ import sys
 import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+RESULTS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_results"
+)
 
 
 def _enable_compile_cache():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def _git_sha():
+    try:
+        r = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.stdout.strip()
+    except Exception:  # noqa: BLE001
+        return ""
+
+
+def _result_path(mode, dtype, n):
+    return os.path.join(RESULTS_DIR, f"{mode}_{dtype}_n{n}.json")
+
+
+def _save_result(mode, dtype, n, out):
+    """Persist a successful TPU measurement for deadline fallback.
+    CPU runs are never cached (their numbers are meaningless here)."""
+    if "TPU" not in str(out.get("device", "")):
+        return
+    try:
+        os.makedirs(RESULTS_DIR, exist_ok=True)
+        with open(_result_path(mode, dtype, n), "w") as f:
+            json.dump({"result": out, "ts": time.time(), "git": _git_sha()}, f)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def _load_cached(mode, dtype, n):
+    try:
+        with open(_result_path(mode, dtype, n)) as f:
+            rec = json.load(f)
+        out = dict(rec["result"])
+        out["cached"] = True
+        out["measured_at_git"] = rec.get("git", "")
+        out["cached_age_s"] = round(time.time() - rec.get("ts", 0.0), 1)
+        return out
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def build_problem(n, dtype_str, refinements=0):
@@ -537,6 +592,7 @@ def main():
         os.environ["CALIBR8_X64"] = "0" if args.dtype == "f32" else "1"
         n = args.n or (32 if args.dtype == "f32" else 20)
         out = run_mode(args.mode, args.dtype, n)
+        _save_result(args.mode, args.dtype, n, out)
         print(json.dumps(out), flush=True)
         return
 
@@ -568,9 +624,16 @@ def main():
         ("adjoint", "f64", 20),
     ]
     for mode, dtype, n in plans:
+        key = f"{mode}_{dtype}"
         remaining = args.deadline - (time.perf_counter() - t_start)
         if remaining < 90.0:
-            detail[f"{mode}_{dtype}"] = {"skipped": "deadline"}
+            cached = _load_cached(mode, dtype, n)
+            detail[key] = (
+                dict(cached, live_skipped="deadline")
+                if cached
+                else {"skipped": "deadline"}
+            )
+            emit()
             continue
         cmd = [
             sys.executable,
@@ -592,12 +655,15 @@ def main():
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = r.stdout.strip().splitlines()[-1]
-            detail[f"{mode}_{dtype}"] = json.loads(line)
+            detail[key] = json.loads(line)
         except Exception as e:  # noqa: BLE001 — record and continue
             err = {"error": str(e)[-300:]}
             if r is not None and r.stderr:
                 err["stderr_tail"] = r.stderr[-600:]
-            detail[f"{mode}_{dtype}"] = err
+            cached = _load_cached(mode, dtype, n)
+            detail[key] = (
+                dict(cached, live_error=err["error"]) if cached else err
+            )
         emit()
 
     detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
