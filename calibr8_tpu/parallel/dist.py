@@ -237,15 +237,18 @@ class DistContext:
                 rows.append(acc)
             return jnp.stack(rows, axis=0)
 
-        # check_vma=False: the element kernels linearize with replicated
-        # eye() seeds against device-varying primals, which the varying
-        # manual-axes checker rejects; collectives here are explicit
-        # (all_to_all / psum), so the automatic check buys nothing.
-        sm = partial(jax.shard_map, mesh=mesh, check_vma=False)
+        # check_vma=False ONLY for the AD-bearing element kernels
+        # (assemble_sm, blocks_sm): they linearize with replicated eye()
+        # seeds against device-varying primals, which the varying
+        # manual-axes checker rejects.  Every pure data-movement /
+        # matvec kernel keeps the checker on — it is exactly the net
+        # that catches silent replication bugs in halo exchange.
+        sm = partial(jax.shard_map, mesh=mesh)
+        sm_ad = partial(jax.shard_map, mesh=mesh, check_vma=False)
         pp = P("parts")
 
         @partial(
-            sm,
+            sm_ad,
             in_specs=(pp, pp, pp, P(), pp, pp, pp, pp, pp, pp, pp),
             out_specs=(pp, pp, pp, pp, pp, P()),
         )
@@ -410,7 +413,7 @@ class DistContext:
         adjoint_blocks = assembler.make_adjoint_blocks_kernel()
 
         @partial(
-            sm,
+            sm_ad,
             in_specs=(pp, pp, pp, pp, pp, P(), pp, pp, pp, pp, pp, pp),
             out_specs=pp,
         )
