@@ -497,6 +497,112 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None):
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
 
 
+def run_calibration(dtype_str):
+    """Calibration iterations-to-tolerance (BASELINE.json third headline):
+    synthetic generation at truth params -> adjoint-gradient L-BFGS-B
+    recovery from a perturbed start, mirroring the reference python FEMU
+    workflow (test/python/CMakeLists.txt:30-77) at the fast-suite size
+    (tests/test_calibration_recovery.py::test_femu_recovery_fast)."""
+    import copy
+
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.io.synthetic import attach_synthetic
+    from calibr8_tpu.opt.drivers import run_inverse
+    from calibr8_tpu.opt.objective import ActiveParams, AdjointObjective
+    from calibr8_tpu.problem import Problem
+    from calibr8_tpu.solve.adjoint import Adjoint
+    from calibr8_tpu.solve.linear import LinearCfg
+
+    truth = {"Y": 2.0, "S": 10.0, "D": 2.0}
+    load_file = os.path.join(CACHE_DIR, "bench_load.dat")
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    mats = {
+        "E": 1000.0, "nu": 0.25, **truth,
+        "R00": 1.0, "R11": 1.0, "R22": 1.0, "R01": 1.0,
+    }
+    tol = 1e-12 if dtype_str == "f64" else 1e-6
+    syn_deck = {
+        "discretization": {
+            "builtin mesh": {"type": "notch2D", "h": 0.25},
+            "num steps": 2,
+            "step size": 1.0,
+        },
+        "residuals": {
+            "global residual": {
+                "type": "mechanics_plane_stress",
+                "nonlinear max iters": 30,
+                "nonlinear absolute tol": 1e-6 if dtype_str == "f32" else 1e-8,
+                "nonlinear relative tol": 1e-6 if dtype_str == "f32" else 1e-8,
+            },
+            "local residual": {
+                "type": "small_hill_plane_stress",
+                "nonlinear max iters": 500,
+                "nonlinear absolute tol": tol,
+                "nonlinear relative tol": tol,
+                "materials": {"body": mats},
+            },
+        },
+        "dirichlet bcs": {
+            "expression": {
+                "bc 1": [0, 0, "xmin", "0.0"],
+                "bc 2": [0, 1, "ymin", "0.0"],
+                "bc 3": [0, 1, "ymax", "0.005 * t"],
+            }
+        },
+        "quantity of interest": {
+            "type": "reaction mismatch",
+            "coordinate index": 1,
+            "coordinate value": 1.0,
+            "coordinate tolerance": 1e-6,
+            "reaction force component": 1,
+            "load out file": load_file,
+        },
+    }
+    syn = Problem(load_deck(syn_deck))
+    traj = syn.solve_primal()
+    attach_synthetic(syn.mesh, syn.disc, traj)
+
+    cal_deck = copy.deepcopy(syn_deck)
+    cal_deck["residuals"]["local residual"]["materials"] = {
+        "body": {**mats, "Y": 2.5, "D": 2.8}
+    }
+    cal_deck["quantity of interest"] = {
+        "type": "calibration",
+        "balance factor": 4.22,
+        "coordinate index": 1,
+        "coordinate value": 1.0,
+        "coordinate tolerance": 1e-6,
+        "reaction force component": 1,
+        "displacement weights": [3.98e7, 3.98e7],
+        "load input file": load_file,
+    }
+    cal = Problem(load_deck(cal_deck), mesh=syn.mesh)
+    adj = Adjoint(cal.assembler, cal.qoi, cal.dbcs, LinearCfg())
+    active = ActiveParams.from_inverse_spec(
+        {"materials": {"body": {"Y": [1.0, 3.0], "D": [1.0, 4.0]}}},
+        cal.disc.elem_set_names,
+        cal.model.param_names,
+    )
+    obj = AdjointObjective(cal, adj, active)
+    x0 = active.to_canonical(active.extract(cal.params0))
+    t0 = time.perf_counter()
+    res = run_inverse(obj, active, x0=x0, max_iters=60, gtol=1e-12)
+    dt = time.perf_counter() - t0
+    recovered = dict(
+        zip([nm.split("/")[-1] for nm in res.names], res.params)
+    )
+    return {
+        "n_elem": int(cal.disc.n_elem),
+        "n_dofs": int(cal.disc.n_dofs),
+        "seconds_total": dt,
+        "n_evals": int(res.n_evals),
+        "seconds_per_eval": dt / max(int(res.n_evals), 1),
+        "J_final": float(res.J),
+        "rel_err_Y": abs(recovered["Y"] - truth["Y"]) / truth["Y"],
+        "rel_err_D": abs(recovered["D"] - truth["D"]) / truth["D"],
+    }
+
+
 def run_mode(mode, dtype_str, n):
     import jax
 
@@ -504,6 +610,11 @@ def run_mode(mode, dtype_str, n):
     if mode == "newton_mg":
         mode = "newton"
     iters = 10 if dtype_str == "f32" else 5
+
+    if mode == "calibration":
+        out = run_calibration(dtype_str)
+        out["device"] = str(jax.devices()[0])
+        return out
 
     if mode == "scale":
         # chip-limit run: assembly + newton + adjoint at the largest
@@ -618,6 +729,7 @@ def main():
         ("newton", "f32", 32),
         ("adjoint", "f32", 32),
         ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
+        ("calibration", "f64", 0),  # iterations-to-tol, reference FEMU analog
         ("scale", "f32", int(os.environ.get("CALIBR8_BENCH_SCALE_N", 64))),
         ("assembly", "f64", 20),
         ("newton", "f64", 20),
