@@ -729,8 +729,8 @@ def main():
         ("newton", "f32", 32),
         ("adjoint", "f32", 32),
         ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
-        ("calibration", "f64", 0),  # iterations-to-tol, reference FEMU analog
         ("scale", "f32", int(os.environ.get("CALIBR8_BENCH_SCALE_N", 64))),
+        ("calibration", "f64", 0),  # iterations-to-tol, reference FEMU analog
         ("assembly", "f64", 20),
         ("newton", "f64", 20),
         ("adjoint", "f64", 20),
