@@ -25,11 +25,17 @@ ALL = [
     "cube_hyperelasticity_traction",
     "cube_hyper_J2",
     "notch2D_small_J2",
+    "notch2D_small_J2_plane_strain",
     "notch2D_small_J2_plane_stress",
     "notch2D_hyper_J2_plane_strain",
+    "notch2D_hyper_J2_plane_stress",
     "notch2D_hypo_J2_plane_strain",
+    "notch2D_hypo_J2_plane_stress",
     "notch_small_J2",
+    "notch_small_hosford",
+    "notch_hyper_J2",
     "notch_hypo_J2",
+    "notch_hypo_barlat",
 ]
 FAST = {"cube_elastic", "notch2D_small_J2_plane_stress"}
 
