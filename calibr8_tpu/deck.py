@@ -38,6 +38,16 @@ def load_deck(path_or_dict, subs: dict | None = None) -> "ProblemSpec":
         import os
 
         all_subs = {}
+        if "@CMAKE_SOURCE_DIR@" in text:
+            # default: infer the source root from an in-tree deck path
+            # (…/<root>/test/<suite>/deck.yaml.in -> <root>), exactly
+            # what CMake's configure_file would have produced; the env
+            # var and explicit `subs` both override.
+            p = os.path.abspath(str(path_or_dict))
+            if f"{os.sep}test{os.sep}" in p:
+                all_subs["CMAKE_SOURCE_DIR"] = p.rsplit(
+                    f"{os.sep}test{os.sep}", 1
+                )[0]
         if os.environ.get("CALIBR8_CMAKE_SOURCE_DIR"):
             all_subs["CMAKE_SOURCE_DIR"] = os.environ[
                 "CALIBR8_CMAKE_SOURCE_DIR"
