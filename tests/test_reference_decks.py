@@ -63,3 +63,36 @@ def test_reference_deck_unmodified_fast(name):
 @pytest.mark.parametrize("name", [n for n in ALL if n not in FAST])
 def test_reference_deck_unmodified_slow(name):
     _run(name)
+
+
+@pytest.mark.slow
+def test_reference_adjoint_deck_unmodified():
+    """The RAW adjoint-check deck (test/adjoint/
+    notch2D_small_J2_adjoint_check.yaml.in) runs end-to-end with NO
+    subs argument — @CMAKE_SOURCE_DIR@ is inferred from the in-tree
+    path.  The deck's golden log10 drop (7.738 +- 0.1) is specific to
+    ROL's random FD direction; with a different direction the drop
+    moves a few tenths (measured 7.34 here), so assert the same >=7
+    decades of decay rather than the direction-specific value
+    (reference: main_inverse.cpp:126-159)."""
+    from calibr8_tpu.opt.objective import (
+        ActiveParams,
+        AdjointObjective,
+        fd_gradient_check,
+    )
+    from calibr8_tpu.solve.adjoint import Adjoint
+    from calibr8_tpu.solve.linear import LinearCfg
+
+    spec = load_deck(f"{REF}/test/adjoint/notch2D_small_J2_adjoint_check.yaml.in")
+    prob = Problem(spec)
+    adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, LinearCfg())
+    active = ActiveParams.from_inverse_spec(
+        spec.sub("inverse"),
+        prob.disc.elem_set_names,
+        prob.model.param_names,
+    )
+    obj = AdjointObjective(prob, adj, active)
+    x0 = active.to_canonical(active.extract(prob.params0))
+    g = obj.gradient(x0)
+    drop, errs = fd_gradient_check(obj.value, g, x0, num_steps=13)
+    assert drop > 7.0, (drop, errs)
