@@ -65,6 +65,25 @@ def build_mesh(spec: ProblemSpec, mesh=None):
         from calibr8_tpu.mesh.smb import read_smb
 
         return read_smb(mesh_file, assoc_file=d.get("assoc file"))
+    if mesh_file and str(mesh_file).endswith("/"):
+        # PUMI directory convention: the reference's synthetic-writing
+        # primal stores the field-tagged mesh under `<name>_synthetic/`
+        # and the VFM/FEMU decks point `mesh file` straight at that
+        # directory (test/vfm/vfm_*_notch2D_*.yaml.in:8).  The rebuild
+        # writes `<name>_synthetic.smb` (same base name); accept the
+        # raw deck path by resolving <dir>/ -> <dir>.smb or <dir>/0.smb.
+        import os
+
+        from calibr8_tpu.mesh.smb import read_smb
+
+        base = str(mesh_file).rstrip("/")
+        for cand in (base + ".smb", os.path.join(base, "0.smb")):
+            if os.path.exists(cand):
+                return read_smb(cand, assoc_file=d.get("assoc file"))
+        raise FileNotFoundError(
+            f"no synthetic mesh at {base}.smb or {base}/0.smb — run the "
+            "synthetic-generating primal deck first"
+        )
     raise ValueError(
         "discretization must provide 'builtin mesh' or a .msh/.smb 'mesh file'"
     )
