@@ -179,12 +179,41 @@ def _build_objective(spec, prob):
     return obj, active
 
 
+def _build_multi_problem(spec):
+    """A `problems:` deck (multi-experiment calibration, reference:
+    test/adjoint/2prob.yaml.in, adjoint_objective.cpp loops problems):
+    one Problem + objective per sub-deck, summed by
+    MultiProblemObjective; the shared top-level `inverse:` sublist
+    defines the common ActiveParams box."""
+    from calibr8_tpu.deck import ProblemSpec
+    from calibr8_tpu.opt.objective import MultiProblemObjective
+    from calibr8_tpu.problem import Problem
+
+    objs, active, prob0 = [], None, None
+    for key in sorted(spec.sub("problems")):
+        sub = dict(spec.sub("problems")[key])
+        sub.setdefault("inverse", spec.sub("inverse"))
+        subspec = ProblemSpec(sub)
+        prob = Problem(subspec)
+        prob0 = prob0 or prob
+        obj, a = _build_objective(subspec, prob)
+        active = active or a
+        objs.append(obj)
+    assert objs, "empty 'problems' sublist"
+    return MultiProblemObjective(objs, active), active, prob0
+
+
 def cmd_inverse(args):
+    from calibr8_tpu.deck import load_deck
     from calibr8_tpu.opt.drivers import run_inverse
     from calibr8_tpu.opt.objective import fd_gradient_check
 
-    spec, prob = _load_problem(args.deck)
-    obj, active = _build_objective(spec, prob)
+    spec = load_deck(args.deck)
+    if spec.sub("problems"):
+        obj, active, prob = _build_multi_problem(spec)
+    else:
+        spec, prob = _load_problem(args.deck)
+        obj, active = _build_objective(spec, prob)
     inverse = spec.inverse
     x0 = active.to_canonical(active.extract(prob.params0))
 
@@ -192,7 +221,8 @@ def cmd_inverse(args):
         g = obj.gradient(x0)
         drop, errs = fd_gradient_check(obj.value, g, x0)
         print(f"gradient check: log10 error drop = {drop:.10f}")
-        reg = spec.regression
+        # 2prob-style decks nest the regression under `inverse:`
+        reg = spec.regression or inverse.get("regression", {})
         if "log10 drop expected" in reg:
             expected = float(reg["log10 drop expected"])
             tol = float(reg.get("log10 drop tolerance", 1e-1))
