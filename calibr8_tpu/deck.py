@@ -48,10 +48,27 @@ def load_deck(path_or_dict, subs: dict | None = None) -> "ProblemSpec":
                 all_subs["CMAKE_SOURCE_DIR"] = p.rsplit(
                     f"{os.sep}test{os.sep}", 1
                 )[0]
-        if os.environ.get("CALIBR8_CMAKE_SOURCE_DIR"):
-            all_subs["CMAKE_SOURCE_DIR"] = os.environ[
-                "CALIBR8_CMAKE_SOURCE_DIR"
-            ]
+        if "@CMAKE_BINARY_DIR@" in text:
+            # build-dir paths (reference: test/{python,femu}/*.yaml.in
+            # write load.dat and the synthetic mesh under
+            # ${CMAKE_BINARY_DIR}/test/<suite>/): ctest runs those
+            # decks with cwd = build/test/<suite>, so the run cwd
+            # plays that role — chained decks run from one cwd agree
+            # on the same artifact paths.  For an in-tree deck the
+            # whole `@CMAKE_BINARY_DIR@/test/<suite>` prefix collapses
+            # to cwd.
+            p = os.path.abspath(str(path_or_dict))
+            if f"{os.sep}test{os.sep}" in p and not os.environ.get(
+                "CALIBR8_CMAKE_BINARY_DIR"
+            ):
+                suite = os.path.basename(os.path.dirname(p))
+                text = text.replace(
+                    f"@CMAKE_BINARY_DIR@/test/{suite}", os.getcwd()
+                )
+            all_subs["CMAKE_BINARY_DIR"] = os.getcwd()
+        for var in ("CMAKE_SOURCE_DIR", "CMAKE_BINARY_DIR"):
+            if os.environ.get(f"CALIBR8_{var}"):
+                all_subs[var] = os.environ[f"CALIBR8_{var}"]
         all_subs.update(subs or {})
         for key, val in all_subs.items():
             text = text.replace(f"@{key}@", str(val))

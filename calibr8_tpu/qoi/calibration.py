@@ -229,6 +229,11 @@ class ReactionMismatch(QoI):
         load = float(self.compute_load(x, x_prev, xi, params_all))
         self.load_history[step] = load
         if self.load_out_file:
+            import os
+
+            os.makedirs(
+                os.path.dirname(self.load_out_file) or ".", exist_ok=True
+            )
             mode = "w" if step == 1 else "a"
             with open(self.load_out_file, mode) as f:
                 f.write(f"{load:.17e}\n")

@@ -93,6 +93,11 @@ class LoadMismatch(QoI):
 
     def after_step(self, x, x_prev, xi, params_all, step):
         if self.load_out_file:
+            import os
+
+            os.makedirs(
+                os.path.dirname(self.load_out_file) or ".", exist_ok=True
+            )
             load = float(self.compute_load(x, x_prev, xi, params_all))
             with open(self.load_out_file, "w" if step == 1 else "a") as f:
                 f.write(f"{load:.17e}\n")

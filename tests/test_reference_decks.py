@@ -120,6 +120,151 @@ def test_reference_2prob_deck_unmodified(tmp_path, monkeypatch, capsys):
     assert float(m.group(1)) > 6.0, m.group(1)
 
 
+@pytest.mark.smoke
+def test_reference_unit_deck_disc_parity():
+    """The RAW unit-test deck (test/unit/unit.yaml.in) loads and the
+    cube-mesh discretization reproduces the reference gtest goldens
+    (test/unit/disc.cpp.in TEST(disc, construct)): 3 dims, 1 element
+    set, 4 side sets, 4 node sets, 4 geometric-vertex nodes/elem,
+    node set 0 = xmin, side set 3 = ymax."""
+    from calibr8_tpu.problem import build_mesh
+
+    spec = load_deck(f"{REF}/test/unit/unit.yaml.in")
+    mesh = build_mesh(spec, None)
+    assert mesh.coords.shape[1] == 3
+    assert mesh.nodes_per_elem == 4
+    assert len(mesh.node_sets) == 4
+    assert len(mesh.side_sets) == 4
+    assert list(mesh.node_sets)[0] == "xmin"
+    assert list(mesh.side_sets)[3] == "ymax"
+
+
+@pytest.mark.slow
+def test_reference_error_deck_unmodified(tmp_path, monkeypatch, capsys):
+    """The RAW error deck (test/error/notch_hyper_J2_error.yaml.in)
+    runs one adjoint error-estimation cycle end-to-end (reference:
+    main_error.cpp — no adaptivity sublist -> 1 cycle, no regression
+    block -> pass = clean run).  Assert the estimate is finite and
+    within its own bound."""
+    import json
+    import re
+
+    from calibr8_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["error", f"{REF}/test/error/notch_hyper_J2_error.yaml.in"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    m = re.search(r"^\{.*\}$", out, re.M)
+    assert m, out
+    res = json.loads(m.group(0))
+    assert abs(res["eta"]) <= res["eta_bound"]
+    assert abs(res["eta"]) < 1e-5, res
+
+
+@pytest.mark.slow
+def test_reference_femu_deck_chain_unmodified(tmp_path, monkeypatch, capsys):
+    """The reference's raw FEMU DEPENDS chain (test/femu/CMakeLists.txt):
+    the synthetic-writing primal deck produces notch_hyper_J2_synthetic
+    mesh in cwd (the @CMAKE_BINARY_DIR@/test/femu role), then the FEMU
+    inverse deck loads it through the PUMI directory-path convention
+    and evaluates the surface-mismatch objective at the truth start
+    (iteration limit 0) — J must vanish."""
+    import re
+
+    from calibr8_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["primal", f"{REF}/test/femu/notch_hyper_J2_synthetic.yaml.in"])
+    assert rc in (0, None)
+    assert (tmp_path / "notch_hyper_J2_synthetic.smb").exists()
+    rc = main(["inverse", f"{REF}/test/femu/notch_hyper_J2_FEMU.yaml.in"])
+    assert rc in (0, None)
+    m = re.search(
+        r"optimization done: J = ([0-9.e+-]+)", capsys.readouterr().out
+    )
+    assert m, "no optimization summary"
+    assert float(m.group(1)) < 1e-12, m.group(1)
+
+
+@pytest.mark.slow
+def test_reference_verify_deck_unmodified(tmp_path, monkeypatch, capsys):
+    """The RAW verify deck (test/verify/notch_hyper_J2_verify.yaml.in,
+    `do regression: true`) runs the nested-space verification end to
+    end; the reference checks effectivity == 1 (main_verify.cpp).
+    Measured here: E_computed/E_exact = 1 + 7e-9."""
+    import re
+
+    from calibr8_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["verify", f"{REF}/test/verify/notch_hyper_J2_verify.yaml.in"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert " PASS" in out, out
+    m = re.search(r"E_computed / E_exact: ([0-9.e+-]+)", out)
+    assert m and abs(float(m.group(1)) - 1.0) < 1e-6, out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name",
+    [
+        "notch_hyper_J2_model_form_error_verify",
+        "notch_isotropic_elastic_model_form_error_verify",
+    ],
+)
+def test_reference_model_form_verify_deck_unmodified(
+    name, tmp_path, monkeypatch, capsys
+):
+    """The RAW model-form verify decks run through
+    `model_form_error --verify` (main_model_form_error_verify.cpp);
+    the two-model exact-weight effectivity must be 1."""
+    import re
+
+    from calibr8_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["model_form_error", "--verify", f"{REF}/test/verify/{name}.yaml.in"]
+    )
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    m = re.search(r"E_computed / E_exact: ([0-9.e+-]+)", out)
+    assert m and abs(float(m.group(1)) - 1.0) < 1e-6, out
+
+
+@pytest.mark.slow
+def test_reference_python_femu_chain_unmodified(tmp_path, monkeypatch, capsys):
+    """The reference's python-driver calibration chain
+    (test/python/CMakeLists.txt py_femu_*): the synthetic primal deck
+    writes the displacement mesh + load.dat (cwd plays the
+    @CMAKE_BINARY_DIR@/test/python role), then the FEMU deck recovers
+    the plasticity parameters from their perturbed starts
+    (Y: 2.6->2, S: 7->10, D: 3->2) via the calibration objective, and
+    the recovered values match truth to the reference's rtol 1e-3
+    (check_recovered_params.py).  Measured: exact to ~1e-9 in 65
+    L-BFGS-B evals."""
+    from calibr8_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["primal", f"{REF}/test/python/notch2D_small_J2_FEMU_synthetic.yaml.in"]
+    )
+    assert rc in (0, None)
+    assert (tmp_path / "load.dat").exists()
+    rc = main(["inverse", f"{REF}/test/python/notch2D_small_J2_FEMU.yaml.in"])
+    assert rc in (0, None)
+    capsys.readouterr()
+    got = {}
+    for line in (tmp_path / "calibrated_params.txt").read_text().splitlines():
+        k, v = line.split(":")
+        got[k.strip()] = float(v)
+    truth = {"Y": 2.0, "S": 10.0, "D": 2.0}
+    for k, v in truth.items():
+        assert abs(got[k] - v) / v < 1e-3, (k, got[k])
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("sens", ["forward", "adjoint"])
 def test_reference_vfm_deck_chain_unmodified(sens, tmp_path, monkeypatch, capsys):
