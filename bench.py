@@ -154,20 +154,23 @@ def representative_state(prob):
     import numpy as np
 
     disc = prob.disc
+    d = disc.spec.dim
     rng = np.random.default_rng(0)
     coords = np.asarray(disc.coords)
     u = np.stack(
         [
-            -0.004 * coords[:, 0],
-            0.02 * coords[:, 1],
-            -0.004 * coords[:, 2],
+            (-0.004 if i != 1 else 0.02) * coords[:, i]
+            for i in range(d)
         ],
         axis=1,
-    ) + 1e-4 * rng.standard_normal((disc.n_nodes, 3))
-    p = np.zeros(disc.n_nodes)
-    x = disc.join(
-        jnp.asarray(u, disc.dtype), jnp.asarray(p, disc.dtype)
-    )
+    ) + 1e-4 * rng.standard_normal((disc.n_nodes, d))
+    if disc.spec.mixed:
+        p = np.zeros(disc.n_nodes)
+        x = disc.join(
+            jnp.asarray(u, disc.dtype), jnp.asarray(p, disc.dtype)
+        )
+    else:
+        x = jnp.asarray(u.reshape(-1), disc.dtype)
     x_prev = disc.zero_x()
     xi_prev = jnp.tile(
         jnp.asarray(prob.assembler.model.init_xi(), disc.dtype)[None, :],
@@ -603,8 +606,70 @@ def run_calibration(dtype_str):
     }
 
 
+def run_twins(dtype_str, n):
+    """Per-model fused-assembly speedup rows: the Pallas fast path vs
+    the generic XLA path, one row per material-model twin, at the SAME
+    configurations whose Pallas-vs-XLA agreement the twin parity tests
+    assert (calibr8_tpu/models/twin_cases.CASES).  Rows persist to the
+    results cache incrementally, so a deadline kill keeps what ran."""
+    import jax
+    import jax.numpy as jnp
+
+    from calibr8_tpu.deck import load_deck
+    from calibr8_tpu.models.twin_cases import CASES, case_deck
+    from calibr8_tpu.problem import Problem
+
+    dtype = jnp.float32 if dtype_str == "f32" else jnp.float64
+    out = {"models": {}, "device": str(jax.devices()[0])}
+    for case in CASES:
+        name, default_mesh, *_ = case
+        mesh = (
+            {"type": "cube", "n": max(n, 4)}
+            if default_mesh["type"] == "cube"
+            else {"type": "notch2D", "h": 0.03}
+        )
+        t_model = time.perf_counter()
+        try:
+            prob = Problem(load_deck(case_deck(case, mesh=mesh)), dtype=dtype)
+            disc = prob.disc
+            row = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
+            x, x_prev, xi_prev = representative_state(prob)
+            params = prob.params0
+            from calibr8_tpu.fem import pallas_assembly
+
+            os.environ["CALIBR8_PALLAS"] = "0"
+            row["xla_seconds"] = timeit(
+                make_assemble(prob),
+                (x, x_prev, xi_prev, params),
+                5,
+                chain=_chain_first_arg(lambda o: o[0].ravel()[0]),
+            )
+            os.environ["CALIBR8_PALLAS"] = "1"
+            if (
+                jax.devices()[0].platform == "tpu"
+                and dtype == jnp.float32
+                and pallas_assembly.supports_pallas(prob.assembler)
+            ):
+                row["pallas_seconds"] = timeit(
+                    make_assemble(prob),
+                    (x, x_prev, xi_prev, params),
+                    5,
+                    chain=_chain_first_arg(lambda o: o[0].ravel()[0]),
+                )
+                row["speedup"] = row["xla_seconds"] / row["pallas_seconds"]
+            row["bench_wall_s"] = round(time.perf_counter() - t_model, 1)
+            out["models"][name] = row
+        except Exception as e:  # noqa: BLE001 — record and move on
+            out["models"][name] = {"error": str(e)[-250:]}
+        _save_result("twins", dtype_str, n, out)
+    return out
+
+
 def run_mode(mode, dtype_str, n):
     import jax
+
+    if mode == "twins":
+        return run_twins(dtype_str, n)
 
     refinements = 2 if mode == "newton_mg" else 0
     if mode == "newton_mg":
@@ -734,6 +799,9 @@ def main():
         ("assembly", "f64", 20),
         ("newton", "f64", 20),
         ("adjoint", "f64", 20),
+        # last: 16 models x 2 paths of compiles — the deadline cuts
+        # this tail first; rows persist incrementally inside the mode
+        ("twins", "f32", 16),
     ]
     for mode, dtype, n in plans:
         key = f"{mode}_{dtype}"

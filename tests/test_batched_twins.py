@@ -16,153 +16,7 @@ from calibr8_tpu.deck import load_deck
 from calibr8_tpu.fem import pallas_assembly
 from calibr8_tpu.problem import Problem
 
-from tests.decks import BCS_2D, BCS_3D, J2_MAT, UNIT_R, make_deck
-
-VOCE = {"E": 1000.0, "nu": 0.25, "Y": 10.0, "S": 5.0, "D": 2.0}
-HILL2D = {**VOCE, "R00": 1.0, "R11": 1.1, "R22": 0.95, "R01": 1.05}
-
-CASES = [
-    (
-        "elastic",
-        {"type": "cube", "n": 2},
-        "elastic",
-        {"E": 1000.0, "nu": 0.25, "cte": 1e-5, "delta_T": 10.0},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "small_J2",
-        {"type": "cube", "n": 2},
-        "small_J2",
-        J2_MAT,
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "hyper_J2",
-        {"type": "cube", "n": 2},
-        "hyper_J2",
-        {**J2_MAT, "S": 0.0, "D": 0.0, "A": 0.0, "n": 0.0},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "small_hill",
-        {"type": "cube", "n": 2},
-        "small_hill",
-        {**VOCE, **UNIT_R},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "hypo_hill",
-        {"type": "cube", "n": 2},
-        "hypo_hill",
-        {**VOCE, **UNIT_R},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "small_hosford",
-        {"type": "cube", "n": 2},
-        "small_hosford",
-        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "a": 8.0, "K": 50.0,
-         "S": 5.0, "D": 2.0},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "hypo_hosford",
-        {"type": "cube", "n": 2},
-        "hypo_hosford",
-        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "a": 8.0, "K": 0.0,
-         "S": 5.0, "D": 2.0},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "hypo_barlat",
-        {"type": "cube", "n": 2},
-        "hypo_barlat",
-        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "a": 8.0, "K": 50.0,
-         "S": 5.0, "D": 2.0,
-         "sp_01": 1.0, "sp_02": 1.05, "sp_10": 0.95, "sp_12": 1.1,
-         "sp_20": 0.9, "sp_21": 1.02, "sp_33": 1.04, "sp_44": 0.97,
-         "sp_55": 1.06,
-         "dp_01": 0.98, "dp_02": 1.03, "dp_10": 1.07, "dp_12": 0.92,
-         "dp_20": 1.01, "dp_21": 0.96, "dp_33": 1.08, "dp_44": 1.02,
-         "dp_55": 0.94},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "isotropic_elastic",
-        {"type": "cube", "n": 2},
-        "isotropic_elastic",
-        {"E": 1000.0, "nu": 0.25},
-        BCS_3D(0.02),
-        "mechanics",
-    ),
-    (
-        "small_hill_plane_stress",
-        {"type": "notch2D", "h": 0.3},
-        "small_hill_plane_stress",
-        HILL2D,
-        BCS_2D(0.01),
-        "mechanics_plane_stress",
-    ),
-    (
-        "small_hill_plane_strain",
-        {"type": "notch2D", "h": 0.3},
-        "small_hill_plane_strain",
-        HILL2D,
-        BCS_2D(0.01),
-        "mechanics",
-    ),
-    (
-        "hypo_hill_plane_strain",
-        {"type": "notch2D", "h": 0.3},
-        "hypo_hill_plane_strain",
-        HILL2D,
-        BCS_2D(0.01),
-        "mechanics",
-    ),
-    (
-        "hyper_J2_plane_strain",
-        {"type": "notch2D", "h": 0.3},
-        "hyper_J2_plane_strain",
-        {"E": 1000.0, "nu": 0.25, "K": 50.0, "Y": 10.0, "Y_inf": 15.0,
-         "delta": 2.0},
-        BCS_2D(0.01),
-        "mechanics",
-    ),
-    (
-        "hyper_J2_plane_stress",
-        {"type": "notch2D", "h": 0.3},
-        "hyper_J2_plane_stress",
-        {"E": 1000.0, "nu": 0.25, "Y": 10.0, "S": 5.0, "D": 2.0,
-         "A": 0.0, "n": 0.0, "K": 50.0},
-        BCS_2D(0.01),
-        "mechanics_plane_stress",
-    ),
-    (
-        "hypo_hill_plane_stress",
-        {"type": "notch2D", "h": 0.3},
-        "hypo_hill_plane_stress",
-        {**HILL2D, "Q00": 0.8660254037844387, "Q01": -0.5,
-         "Q10": 0.5, "Q11": 0.8660254037844387},
-        BCS_2D(0.01),
-        "mechanics_plane_stress",
-    ),
-    (
-        "hybrid_hyper_J2_plane_stress",
-        {"type": "notch2D", "h": 0.3},
-        "hybrid_hyper_J2_plane_stress",
-        {"E": 1000.0, "nu": 0.25, "Y": 10.0},
-        BCS_2D(0.01),
-        "mechanics_plane_stress",
-    ),
-]
+from calibr8_tpu.models.twin_cases import CASES, case_deck
 
 
 def _state(prob, scale):
@@ -213,18 +67,7 @@ def test_pallas_twin_matches_generic_slow(name, mesh, model, mats, bcs, gtype):
 
 
 def _run_twin_case(name, mesh, model, mats, bcs, gtype):
-    deck = make_deck(mesh, model, mats, bcs, 1, global_type=gtype)
-    if name == "isotropic_elastic":
-        # displacement formulation (no u/p mixing) — the non-mixed
-        # 3D kernel path
-        deck["residuals"]["global residual"]["mixed formulation"] = False
-    if name == "hybrid_hyper_J2_plane_stress":
-        deck["residuals"]["local residual"]["embedded model"] = {
-            "activation function": "sigmoid",
-            "topology": [1, 4, 1],
-            "input scale": 1.0,
-            "output scale": 10.0,
-        }
+    deck = case_deck((name, mesh, model, mats, bcs, gtype), num_steps=1)
     prob = Problem(load_deck(deck))
     a = prob.assembler
     assert pallas_assembly.supports_pallas(a), f"{name}: twin not wired"
