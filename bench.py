@@ -661,6 +661,8 @@ def run_twins(dtype_str, n):
             out["models"][name] = row
         except Exception as e:  # noqa: BLE001 — record and move on
             out["models"][name] = {"error": str(e)[-250:]}
+        finally:
+            os.environ["CALIBR8_PALLAS"] = "1"
         _save_result("twins", dtype_str, n, out)
     return out
 
