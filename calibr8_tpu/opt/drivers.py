@@ -37,39 +37,105 @@ class InverseResult:
 
 
 class _EvalWrapper:
-    """Objective adapter with failure handling and history recording."""
+    """Objective adapter with failure handling and history recording
+    (reference: driver_support.py:181-283).
 
-    def __init__(self, objective, failure_mode="penalty_inward", penalty=1e10):
+    On a failed forward solve (diverged Newton at an aggressive
+    parameter point):
+
+      * penalty_inward — finite penalty objective plus a SMALL fake
+        gradient along (x - last_success_x), so the optimizer's
+        negative-gradient step points back toward the last good point.
+        Its norm is min(fake_grad_scale * median successful-gradient
+        norm, fake_grad_cap) — a huge fake gradient would poison the
+        L-BFGS curvature pairs.
+      * repeat_last — return the previous successful (J, g); falls
+        back to penalty_inward before any success exists.
+    """
+
+    def __init__(
+        self,
+        objective,
+        failure_mode="penalty_inward",
+        penalty=1.0e12,
+        fake_grad_scale=1.0e-3,
+        fake_grad_cap=1.0,
+        fake_grad_fallback_norm=1.0,
+        grad_norm_window=25,
+    ):
         self.obj = objective
         self.failure_mode = failure_mode
         self.penalty = penalty
+        self.fake_grad_scale = fake_grad_scale
+        self.fake_grad_cap = fake_grad_cap
+        self.fake_grad_fallback_norm = fake_grad_fallback_norm
+        self.grad_norm_window = grad_norm_window
         self.n_evals = 0
         self.history = []
+        self.call_log = []
         self._last_good = None
+        self._last_good_x = None
+        self._grad_norms = []
+
+    def _fake_inward_grad(self, x):
+        x = np.asarray(x, dtype=float)
+        if self._last_good_x is None:
+            direction = np.ones_like(x)
+        else:
+            direction = x - self._last_good_x
+        nrm = float(np.linalg.norm(direction))
+        if not np.isfinite(nrm) or nrm < 1e-12:
+            direction = np.ones_like(x)
+            nrm = float(np.linalg.norm(direction))
+        target = (
+            float(np.median(self._grad_norms))
+            if self._grad_norms
+            else self.fake_grad_fallback_norm
+        )
+        fake_norm = max(
+            min(self.fake_grad_scale * target, self.fake_grad_cap), 1e-12
+        )
+        return (fake_norm / (nrm + 1e-12)) * direction
+
+    def _record_success(self, x, J, g=None):
+        self._last_good_x = np.asarray(x, dtype=float).copy()
+        self.history.append((np.asarray(x).copy(), float(J)))
+        if g is not None:
+            self._last_good = (float(J), np.asarray(g))
+            self._grad_norms.append(float(np.linalg.norm(g)))
+            del self._grad_norms[: -self.grad_norm_window]
+        self.call_log.append({"success": True, "objective": float(J)})
+
+    def _handle_failure(self, x, want_grad):
+        if self.failure_mode == "repeat_last" and self._last_good:
+            self.call_log.append(
+                {"success": False, "failure_response": "repeat_last"}
+            )
+            return self._last_good if want_grad else self._last_good[0]
+        self.call_log.append(
+            {"success": False, "failure_response": "penalty_inward"}
+        )
+        if want_grad:
+            return self.penalty, self._fake_inward_grad(x)
+        return self.penalty
 
     def value_and_grad(self, x):
         self.n_evals += 1
         try:
             J, g = self.obj.value_and_gradient(x)
-            self._last_good = (float(J), np.asarray(g))
-            self.history.append((np.asarray(x).copy(), float(J)))
+            self._record_success(x, J, g)
             return float(J), np.asarray(g)
         except NewtonSolveError:
-            if self.failure_mode == "repeat_last" and self._last_good:
-                return self._last_good
-            # penalty_inward: large value, gradient pointing back toward
-            # the center of the canonical box (driver_support.py:181-283)
-            g = np.sign(np.asarray(x)) * self.penalty
-            return self.penalty, g
+            return self._handle_failure(x, want_grad=True)
 
     def value(self, x):
         self.n_evals += 1
         try:
             J = self.obj.value(x)
-            self.history.append((np.asarray(x).copy(), float(J)))
+            self._record_success(x, J)
             return float(J)
         except NewtonSolveError:
-            return self.penalty
+            return self._handle_failure(x, want_grad=False)
 
 
 def run_inverse(
