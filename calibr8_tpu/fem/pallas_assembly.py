@@ -154,9 +154,20 @@ def make_batched_elem_residual(bmodel, spec, N1_np, q1w_np):
     return f
 
 
-def make_pallas_assemble(assembler, block_e: int | None = None, interpret: bool = False):
+def make_pallas_assemble(
+    assembler,
+    block_e: int | None = None,
+    interpret: bool = False,
+    n_elem: int | None = None,
+):
     """Build assemble(x, x_prev, xi_prev, params_all) ->
-    (R (n_dofs,), J_e (n_elem, nde, nde), diag, xi, path, nfail)."""
+    (R (n_dofs,), J_e (n_elem, nde, nde), diag, xi, path, nfail).
+
+    With `n_elem` given, returns the ELEMENT-LEVEL kernel instead: a
+    call over pre-gathered trailing-layout element arrays (padded to
+    .E_pad), no gather/scatter — the per-shard compute of the dist
+    shard_map assembly (parallel/dist.py), where the halo exchange
+    supplies the element dofs and the Export-ADD does the scatter."""
     disc = assembler.disc
     model, spec = assembler.model, assembler.spec
     bmodel = get_batched_model(model)
@@ -166,12 +177,17 @@ def make_pallas_assemble(assembler, block_e: int | None = None, interpret: bool 
         # twins with heavy per-element state declare a smaller block to
         # fit the VMEM stack
         block_e = getattr(bmodel, "block_e", 1024)
+    elem_level = n_elem is not None
     nxi = assembler.nxi
     nde = spec.ndofs_elem
     npe = spec.npe
     d = spec.dim
-    n_elem = disc.n_elem
+    n_elem = disc.n_elem if n_elem is None else int(n_elem)
     npar = model.n_params
+    if elem_level:
+        # small per-shard element counts: shrink the block to the next
+        # lane multiple so tiny parts don't pad 1024-wide
+        block_e = min(block_e, -(-n_elem // 128) * 128)
 
     E_pad = ((n_elem + block_e - 1) // block_e) * block_e
     n_blocks = E_pad // block_e
@@ -184,10 +200,13 @@ def make_pallas_assemble(assembler, block_e: int | None = None, interpret: bool 
         )
         return jnp.asarray(np.moveaxis(out, 0, -1))
 
-    gN_T = pad_T(disc.grad_N)  # (npe, d, E)
-    detJ_T = pad_T(np.asarray(disc.detJ))[None, :]  # (1, E)
-    h_T = pad_T(np.asarray(disc.h), fill=1.0)[None, :]  # (1, E)
-    es_pad = np.concatenate([np.asarray(disc.es_ids), np.zeros(pad, np.int32)])
+    if not elem_level:
+        gN_T = pad_T(disc.grad_N)  # (npe, d, E)
+        detJ_T = pad_T(np.asarray(disc.detJ))[None, :]  # (1, E)
+        h_T = pad_T(np.asarray(disc.h), fill=1.0)[None, :]  # (1, E)
+        es_pad = np.concatenate(
+            [np.asarray(disc.es_ids), np.zeros(pad, np.int32)]
+        )
 
     q1_pts, q1w_np = basis.quadrature(d, 2)
     N1_np = basis.shape_values(d, q1_pts)
@@ -501,10 +520,26 @@ def make_pallas_assemble(assembler, block_e: int | None = None, interpret: bool 
         interpret=interpret,
     )
 
-    es_ids_pad = jnp.asarray(es_pad)
     iota_in = jnp.tile(
         jnp.arange(n_iota, dtype=jnp.int32)[:, None], (1, E_pad)
     )
+
+    if elem_level:
+
+        def call_elems(x_eT, xp_eT, xipT, gN_T, detJ_T, h_T, parsT):
+            """(R_T (nde, E_pad), J_T (nde, nde, E_pad), xi_T, path,
+            fail) from pre-gathered element arrays, all trailing-layout
+            and padded to E_pad (pad elements: detJ 0, h 1)."""
+            return call(
+                x_eT, xp_eT, xipT, gN_T, detJ_T, h_T, parsT, iota_in
+            )
+
+        call_elems.E_pad = E_pad
+        call_elems.block_e = block_e
+        call_elems.n_elem = n_elem
+        return call_elems
+
+    es_ids_pad = jnp.asarray(es_pad)
 
     def pad_rt(a, fill=0.0):
         return jnp.concatenate(

@@ -189,6 +189,29 @@ class DistContext:
         rj_kernel = assembler.make_rj_kernel()
         mesh = self.mesh
 
+        # per-shard fused Pallas kernel (same fast path as single-chip):
+        # the halo gather supplies the element dofs, the Export-ADD the
+        # scatter, and the kernel fuses local solve + condensed element
+        # Jacobian in between.  CALIBR8_PALLAS_INTERPRET=1 exercises the
+        # identical code path in interpret mode off-TPU (parity tests).
+        import os
+
+        from calibr8_tpu.fem import pallas_assembly
+
+        pallas_elems = None
+        interp = os.environ.get("CALIBR8_PALLAS_INTERPRET") == "1"
+        on_tpu = (
+            jax.default_backend() == "tpu" and self.dtype == jnp.float32
+        )
+        if (
+            os.environ.get("CALIBR8_PALLAS", "1") != "0"
+            and (on_tpu or interp)
+            and pallas_assembly.supports_pallas(assembler)
+        ):
+            pallas_elems = pallas_assembly.make_pallas_assemble(
+                assembler, interpret=interp, n_elem=E
+            )
+
         def gather(x_own, send, recv):
             """Owned block -> local [owned | ghost] block (Tpetra Import)."""
             c = x_own.shape[-1]
@@ -263,30 +286,63 @@ class DistContext:
             x_e = x_loc[conn].reshape(E, nde)
             xp_e = xp_loc[conn].reshape(E, nde)
             pars = params[es]
-            loc = assembler.local_solve_from_elems(
-                x_e, xp_e, xi_prev, pars, gN
-            )
-            R_eT, J_T = rj_kernel(
-                x_e.T,
-                xp_e.T,
-                loc.xi.T,
-                xi_prev.T,
-                loc.path,
-                jnp.moveaxis(gN, 0, -1),
-                detJ,
-                h,
-                pars.T,
-            )
+            if pallas_elems is not None:
+                pe = pallas_elems.E_pad - E
+
+                def padE(a, fill=0.0):
+                    if not pe:
+                        return a
+                    return jnp.pad(
+                        a,
+                        [(0, 0)] * (a.ndim - 1) + [(0, pe)],
+                        constant_values=fill,
+                    )
+
+                # pars pads with EDGE values: zero material params hit
+                # 0/0 (e.g. tau = h^2/2mu) even at zero weight
+                pars_Tp = (
+                    jnp.pad(pars.T, [(0, 0), (0, pe)], mode="edge")
+                    if pe
+                    else pars.T
+                )
+                R_Tp, J_Tp, xi_Tp, path2, fail2 = pallas_elems(
+                    padE(x_e.T),
+                    padE(xp_e.T),
+                    padE(xi_prev.T),
+                    padE(jnp.moveaxis(gN, 0, -1)),
+                    padE(detJ[None, :]),
+                    padE(h[None, :], 1.0),
+                    pars_Tp,
+                )
+                R_eT, J_T = R_Tp[:, :E], J_Tp[:, :, :E]
+                xi, path = xi_Tp[:, :E].T, path2[0, :E]
+                failed = fail2[0, :E]
+            else:
+                loc = assembler.local_solve_from_elems(
+                    x_e, xp_e, xi_prev, pars, gN
+                )
+                R_eT, J_T = rj_kernel(
+                    x_e.T,
+                    xp_e.T,
+                    loc.xi.T,
+                    xi_prev.T,
+                    loc.path,
+                    jnp.moveaxis(gN, 0, -1),
+                    detJ,
+                    h,
+                    pars.T,
+                )
+                xi, path, failed = loc.xi, loc.path, loc.failed
             R_own = scatter_add(local_scatter(R_eT.T, conn), send, recv)
             dg = jnp.stack([J_T[i, i] for i in range(nde)], axis=0)  # (nde, E)
             diag_own = scatter_add(local_scatter(dg.T, conn), send, recv)
-            nfail = jax.lax.psum(jnp.sum(loc.failed), "parts")
+            nfail = jax.lax.psum(jnp.sum(failed), "parts")
             return (
                 R_own[None],
                 J_T[None],
                 diag_own[None],
-                loc.xi[None],
-                loc.path[None],
+                xi[None],
+                path[None],
                 nfail,
             )
 
