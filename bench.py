@@ -290,6 +290,42 @@ def _chain_first_arg(scalar_of):
     return chain
 
 
+def timeit_scan(fn, args, iters, scalar_of, chain_idx=0):
+    """True per-iteration device seconds: all `iters` calls inside ONE
+    jit via lax.scan, each iteration chained on the previous output's
+    scalar (carry + 0.0*s keeps the loop body live — XLA cannot fold
+    0*s because s may be non-finite — without changing values).
+
+    This replaces the eager chained-dispatch `timeit`: the A/B study
+    on the real chip (scripts/ab_timing.py, 196k elems, f32) measured
+    the eager chain at 138 ms/iter vs 13.9 ms/iter for the scan form
+    on the identical computation — every eager chain op costs a ~30 ms
+    axon-tunnel dispatch, so per-iteration host round trips dominate
+    anything under ~100 ms.  `fn` must be TRACEABLE (not an opaque
+    jitted wrapper closing over big device constants): every array it
+    needs — including disc.hoist_args() state — must arrive via `args`
+    so it becomes a jit ARGUMENT, not an HLO constant (the 1M-DOF
+    axon remote-compile 413 limit)."""
+    import jax
+
+    def scanned(*a):
+        def body(carry, _):
+            call = list(a)
+            call[chain_idx] = carry
+            out = fn(*call)
+            s = scalar_of(out)
+            return carry + (0.0 * s).astype(carry.dtype), s
+        return jax.lax.scan(body, a[chain_idx], None, length=iters)
+
+    run = jax.jit(scanned)
+    out = run(*args)  # warmup/compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def cost_analysis(fn, args):
     """XLA-reported flops and bytes for one call (roofline inputs)."""
     import jax
@@ -305,18 +341,33 @@ def cost_analysis(fn, args):
         return 0.0, 0.0
 
 
+def _assemble_body(prob, hoist=None):
+    """Traceable assembly body + const args for timeit_scan: with
+    `hoist`, the disc state and Pallas aux pass as jit arguments."""
+    disc = prob.disc
+    fn, aux = make_assemble_raw(prob, hoist=hoist)
+    if hoist is None:
+        return fn, (aux,)
+
+    def body(x, xp, xip, params, st, aux):
+        with disc.bind(st):
+            return fn(x, xp, xip, params, aux)
+
+    return body, (hoist, aux)
+
+
 def _bench_assembly(prob, out, iters, with_roofline=True, hoist=None):
     import jax
 
     disc = prob.disc
     x, x_prev, xi_prev = representative_state(prob)
     params = prob.params0
-    assemble = make_assemble(prob, hoist=hoist)
-    dt = timeit(
-        assemble,
-        (x, x_prev, xi_prev, params),
+    body, consts = _assemble_body(prob, hoist=hoist)
+    dt = timeit_scan(
+        body,
+        (x, x_prev, xi_prev, params) + consts,
         iters,
-        chain=_chain_first_arg(lambda out: out[0].ravel()[0]),
+        lambda out: out[0].ravel()[0],
     )
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
@@ -338,8 +389,12 @@ def _bench_assembly(prob, out, iters, with_roofline=True, hoist=None):
     out["xla_flops"] = flops
     out["xla_bytes"] = bytes_
     try:
-        xla_fn = jax.jit(xla_assemble)
-        dt_xla = timeit(xla_fn, (x, x_prev, xi_prev, params), max(iters // 2, 2))
+        dt_xla = timeit_scan(
+            xla_assemble,
+            (x, x_prev, xi_prev, params),
+            max(iters // 2, 2),
+            lambda out: out[0].ravel()[0],
+        )
         out["xla_seconds"] = dt_xla
         out["pallas_speedup"] = dt_xla / dt
         # v5e: 819 GB/s HBM — the binding resource for this
@@ -382,7 +437,7 @@ def _newton_fn(prob, dtype_str, mg, hoist=None):
 
     fn, aux = make_assemble_raw(prob, hoist=hoist)
 
-    def body(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux):
+    def core(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux):
         R, J_e, diag, xi, path, nfail = fn(x, x_prev, xi_prev, params, aux)
         R = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
         dx, relres = linear_mod.solve_info(
@@ -391,41 +446,38 @@ def _newton_fn(prob, dtype_str, mg, hoist=None):
         return x + dx, xi, jnp.linalg.norm(R), relres
 
     if hoist is None:
-        inner = jax.jit(body)
-        return lambda *args: inner(*args, aux)
+        def body(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux):
+            return core(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux)
+
+        return body, (aux,)
 
     # MG transfer arrays hoisted alongside the disc arrays (the level-0
     # P_nT is ~100 MB at 1.5M elements — embedded constants 413)
     mg_hoist = mg.hoist_args() if mg is not None else None
     import contextlib
 
-    @jax.jit
-    def body_h(st, mst, aux, x, x_prev, xi_prev, params, bc_dofs, bc_vals):
+    def body(x, x_prev, xi_prev, params, bc_dofs, bc_vals, st, mst, aux):
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
-            return body(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux)
+            return core(x, x_prev, xi_prev, params, bc_dofs, bc_vals, aux)
 
-    return lambda *args: body_h(hoist, mg_hoist, aux, *args)
+    return body, (hoist, mg_hoist, aux)
 
 
 def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None):
+    import jax
+
     disc = prob.disc
     x, x_prev, xi_prev = representative_state(prob)
     params = prob.params0
     bc_dofs, bc_vals = prob.dbcs.arrays(1.0)
     mg = prob.mg_factory if refinements else None
-    newton_step = _newton_fn(prob, dtype_str, mg, hoist=hoist)
-    dt = timeit(
-        newton_step,
-        (x, x_prev, xi_prev, params, bc_dofs, bc_vals),
-        iters,
-        chain=_chain_first_arg(lambda out: out[3]),
-    )
+    body, consts = _newton_fn(prob, dtype_str, mg, hoist=hoist)
+    args = (x, x_prev, xi_prev, params, bc_dofs, bc_vals) + consts
+    dt = timeit_scan(body, args, iters, lambda out: out[3])
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
-    out["solve_relres"] = float(
-        newton_step(x, x_prev, xi_prev, params, bc_dofs, bc_vals)[3]
-    )
+    out["solve_relres"] = float(jax.jit(body)(*args)[3])
     if refinements:
         out["preconditioner"] = "multigrid"
 
@@ -459,18 +511,17 @@ def _make_adjoint_fn(prob, dtype_str, hoist=None, mg=None):
         )
 
     if hoist is None:
-        return jax.jit(adjoint_step), f0, g0
+        return adjoint_step, (), f0, g0
 
     mg_hoist = mg.hoist_args() if mg is not None else None
     import contextlib
 
-    @jax.jit
-    def step_h(st, mst, *args):
+    def step_h(x, x_prev, xi, xi_prev, path, params, f, g, st, mst):
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
-            return adjoint_step(*args)
+            return adjoint_step(x, x_prev, xi, xi_prev, path, params, f, g)
 
-    return (lambda *args: step_h(hoist, mg_hoist, *args)), f0, g0
+    return step_h, (hoist, mg_hoist), f0, g0
 
 
 def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None):
@@ -489,12 +540,12 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None):
                 return prob.assembler.local_solve(x, x_prev, xi_prev, params)
 
         loc = loc_h(hoist, x, x_prev, xi_prev, params)
-    jfn, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
-    dt = timeit(
+    jfn, consts, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
+    dt = timeit_scan(
         jfn,
-        (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0),
+        (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0) + consts,
         iters,
-        chain=_chain_first_arg(lambda out: out.grad.ravel()[0]),
+        lambda out: out.grad.ravel()[0],
     )
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
@@ -606,72 +657,112 @@ def run_calibration(dtype_str):
     }
 
 
-def run_twins(dtype_str, n):
-    """Per-model fused-assembly speedup rows: the Pallas fast path vs
-    the generic XLA path, one row per material-model twin, at the SAME
-    configurations whose Pallas-vs-XLA agreement the twin parity tests
-    assert (calibr8_tpu/models/twin_cases.CASES).  Rows persist to the
-    results cache incrementally, so a deadline kill keeps what ran."""
+def _twin_row(case, dtype_str, n):
+    """One model's Pallas-vs-XLA fused-assembly row, scan-harness
+    timed, at the SAME configuration whose Pallas-vs-XLA agreement the
+    twin parity tests assert (calibr8_tpu/models/twin_cases.CASES)."""
     import jax
     import jax.numpy as jnp
 
     from calibr8_tpu.deck import load_deck
-    from calibr8_tpu.models.twin_cases import CASES, case_deck
+    from calibr8_tpu.fem import pallas_assembly
+    from calibr8_tpu.models.twin_cases import case_deck
     from calibr8_tpu.problem import Problem
 
+    _, default_mesh, *_ = case
+    mesh = (
+        {"type": "cube", "n": max(n, 4)}
+        if default_mesh["type"] == "cube"
+        else {"type": "notch2D", "h": 0.03}
+    )
     dtype = jnp.float32 if dtype_str == "f32" else jnp.float64
-    out = {"models": {}, "device": str(jax.devices()[0])}
-    for case in CASES:
-        name, default_mesh, *_ = case
-        mesh = (
-            {"type": "cube", "n": max(n, 4)}
-            if default_mesh["type"] == "cube"
-            else {"type": "notch2D", "h": 0.03}
-        )
-        t_model = time.perf_counter()
-        try:
-            prob = Problem(load_deck(case_deck(case, mesh=mesh)), dtype=dtype)
-            disc = prob.disc
-            row = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
-            x, x_prev, xi_prev = representative_state(prob)
-            params = prob.params0
-            from calibr8_tpu.fem import pallas_assembly
+    t_model = time.perf_counter()
+    try:
+        prob = Problem(load_deck(case_deck(case, mesh=mesh)), dtype=dtype)
+        disc = prob.disc
+        row = {
+            "n_elem": int(disc.n_elem),
+            "n_dofs": int(disc.n_dofs),
+            "device": str(jax.devices()[0]),
+        }
+        x, x_prev, xi_prev = representative_state(prob)
+        args = (x, x_prev, xi_prev, prob.params0)
 
-            os.environ["CALIBR8_PALLAS"] = "0"
-            row["xla_seconds"] = timeit(
-                make_assemble(prob),
-                (x, x_prev, xi_prev, params),
-                5,
-                chain=_chain_first_arg(lambda o: o[0].ravel()[0]),
+        os.environ["CALIBR8_PALLAS"] = "0"
+        body, consts = _assemble_body(prob)
+        row["xla_seconds"] = timeit_scan(
+            body, args + consts, 5, lambda o: o[0].ravel()[0]
+        )
+        os.environ["CALIBR8_PALLAS"] = "1"
+        if (
+            jax.devices()[0].platform == "tpu"
+            and dtype == jnp.float32
+            and pallas_assembly.supports_pallas(prob.assembler)
+        ):
+            body, consts = _assemble_body(prob)
+            row["pallas_seconds"] = timeit_scan(
+                body, args + consts, 5, lambda o: o[0].ravel()[0]
             )
-            os.environ["CALIBR8_PALLAS"] = "1"
-            if (
-                jax.devices()[0].platform == "tpu"
-                and dtype == jnp.float32
-                and pallas_assembly.supports_pallas(prob.assembler)
-            ):
-                row["pallas_seconds"] = timeit(
-                    make_assemble(prob),
-                    (x, x_prev, xi_prev, params),
-                    5,
-                    chain=_chain_first_arg(lambda o: o[0].ravel()[0]),
-                )
-                row["speedup"] = row["xla_seconds"] / row["pallas_seconds"]
-            row["bench_wall_s"] = round(time.perf_counter() - t_model, 1)
+            row["speedup"] = row["xla_seconds"] / row["pallas_seconds"]
+        row["bench_wall_s"] = round(time.perf_counter() - t_model, 1)
+        return row
+    finally:
+        os.environ["CALIBR8_PALLAS"] = "1"
+
+
+def run_twins(dtype_str, n, model=None):
+    """Per-model fused-assembly speedup rows: the Pallas fast path vs
+    the generic XLA path, one row per material-model twin.
+
+    With `model`, measures that one row in-process (the child mode).
+    Otherwise orchestrates ONE SUBPROCESS PER MODEL: a Mosaic kernel
+    fault wedges the axon client for the rest of its process (observed
+    round 3 — the eig twin's unlowerable acos poisoned every row after
+    it with UNAVAILABLE device errors), so each row gets a fresh
+    process and a fresh chip connection.  The parent never imports
+    jax, keeping the chip single-tenant.  Rows persist to the results
+    cache incrementally, so a deadline kill keeps what ran."""
+    from calibr8_tpu.models.twin_cases import CASES
+
+    if model is not None:
+        case = next(c for c in CASES if c[0] == model)
+        return _twin_row(case, dtype_str, n)
+
+    out = {"models": {}, "device": ""}
+    for case in CASES:
+        name = case[0]
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--mode", "twins", "--dtype", dtype_str,
+            "--n", str(n), "--model", name,
+        ]
+        r = None
+        try:
+            r = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                timeout=420.0,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            row = json.loads(r.stdout.strip().splitlines()[-1])
+            out["device"] = row.pop("device", out["device"])
             out["models"][name] = row
         except Exception as e:  # noqa: BLE001 — record and move on
-            out["models"][name] = {"error": str(e)[-250:]}
-        finally:
-            os.environ["CALIBR8_PALLAS"] = "1"
+            err = str(e)[-250:]
+            if r is not None and r.stderr:
+                err = r.stderr.strip().splitlines()[-1][-250:]
+            out["models"][name] = {"error": err}
         _save_result("twins", dtype_str, n, out)
     return out
 
 
-def run_mode(mode, dtype_str, n):
+def run_mode(mode, dtype_str, n, model=None):
     import jax
 
     if mode == "twins":
-        return run_twins(dtype_str, n)
+        return run_twins(dtype_str, n, model=model)
 
     refinements = 2 if mode == "newton_mg" else 0
     if mode == "newton_mg":
@@ -757,6 +848,11 @@ def main():
     ap.add_argument("--dtype", default="f32")
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument(
+        "--model",
+        default=None,
+        help="twins mode: measure only this model (child-process row)",
+    )
+    ap.add_argument(
         "--deadline",
         type=float,
         default=float(os.environ.get("CALIBR8_BENCH_DEADLINE", 1140.0)),
@@ -769,8 +865,9 @@ def main():
     if args.mode is not None:
         os.environ["CALIBR8_X64"] = "0" if args.dtype == "f32" else "1"
         n = args.n or (32 if args.dtype == "f32" else 20)
-        out = run_mode(args.mode, args.dtype, n)
-        _save_result(args.mode, args.dtype, n, out)
+        out = run_mode(args.mode, args.dtype, n, model=args.model)
+        if args.model is None:  # per-model rows persist via the parent
+            _save_result(args.mode, args.dtype, n, out)
         print(json.dumps(out), flush=True)
         return
 

@@ -2,8 +2,10 @@
 
 The round-3 scale bench measured adjoint 13.7 s vs newton 9.2 s at
 1.57M elems / 1.1M DOF (one v5e, f32).  This script splits one adjoint
-step into its three phases and times each with the same
-chained-dependency discipline bench.timeit uses:
+step into its three phases and times each with the same scan
+harness bench.timeit_scan uses (all iterations inside one jit —
+the eager chained form over-reports by ~30 ms/dispatch tunnel RTT,
+measured in scripts/ab_timing.py):
 
   blocks   — the chunked fused linearize producing the element-level
              adjoint blocks (dR/dx^T condensed, dC/dxi^T, dC/dp^T, ...)
@@ -60,7 +62,9 @@ def main():
     loc = loc_h(hoist, x, x_prev, xi_prev, params)
     jax.block_until_ready(loc.xi)
 
-    jfn, f0, g0 = bench._make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
+    jfn, jconsts, f0, g0 = bench._make_adjoint_fn(
+        prob, dtype_str, hoist=hoist, mg=mg
+    )
     adj = None
     # rebuild the same Adjoint the bench fn wraps, for phase access
     lin_cfg = linear_mod.LinearCfg(
@@ -82,21 +86,17 @@ def main():
     # -- phase 1: blocks ------------------------------------------------
     # x leads the signature: timeit's chain helper adds 0*prev_out to
     # args[0], which must be a float array (hoist is integer pytrees).
-    @jax.jit
     def blocks_h(x, st, x_prev, xi, xi_prev, path, params):
         with disc.bind(st):
             return adj._blocks(x, x_prev, xi, xi_prev, path, params)
 
     args_b = (x, hoist, x_prev, loc.xi, xi_prev, loc.path, params)
-    out["blocks_s"] = bench.timeit(
-        blocks_h,
-        args_b,
-        iters,
-        chain=bench._chain_first_arg(lambda B: B["J_total_T"].ravel()[0]),
+    out["blocks_s"] = bench.timeit_scan(
+        blocks_h, args_b, iters, lambda B: B["J_total_T"].ravel()[0]
     )
 
     # -- phase 2: solve, given precomputed blocks ----------------------
-    B = blocks_h(*args_b)
+    B = jax.jit(blocks_h)(*args_b)
     jax.block_until_ready(B["J_total_T"])
     dJ_dx, dJ_dxi, _ = adj._qoi_partials(x, x_prev, loc.xi, params, aux)
     g_modT = (g0 - dJ_dxi).T
@@ -108,7 +108,6 @@ def main():
 
     import contextlib
 
-    @jax.jit
     def solve_h(rhs, st, mst, J_T, diag):
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
@@ -118,21 +117,18 @@ def main():
             )
 
     args_s = (rhs, hoist, mg_hoist, B["J_total_T"], diag)
-    out["solve_s"] = bench.timeit(
-        solve_h,
-        args_s,
-        iters,
-        chain=bench._chain_first_arg(lambda zs: zs[0].ravel()[0]),
+    out["solve_s"] = bench.timeit_scan(
+        solve_h, args_s, iters, lambda zs: zs[0].ravel()[0]
     )
-    z, relres = solve_h(*args_s)
+    z, relres = jax.jit(solve_h)(*args_s)
     out["solve_relres"] = float(relres)
 
     # -- full step ------------------------------------------------------
-    out["full_s"] = bench.timeit(
+    out["full_s"] = bench.timeit_scan(
         jfn,
-        (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0),
+        (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0) + jconsts,
         iters,
-        chain=bench._chain_first_arg(lambda r: r.grad.ravel()[0]),
+        lambda r: r.grad.ravel()[0],
     )
     out["other_s"] = out["full_s"] - out["blocks_s"] - out["solve_s"]
     out["device"] = str(jax.devices()[0])
