@@ -1584,6 +1584,37 @@ def t_powa(x, e, tiny=1e-300):
     return jnp.exp(e * jnp.log(jnp.abs(x) + tiny))
 
 
+def t_acos(x):
+    """Branchless polynomial arccos (Mosaic has NO inverse-trig
+    lowering: acos/asin/atan/atan2 all fail in the TC kernel type —
+    probed on the real chip, scripts/probe_mosaic_trig.py).
+
+    Abramowitz & Stegun 4.4.45: arccos(t) = sqrt(1-t) * P7(t) on
+    [0, 1] with |err| <= 2e-8 (below f32 rounding; the twins are
+    f32-only on TPU), reflected to [-1, 0] via arccos(x) = pi -
+    arccos(-x) with an arithmetic mask instead of a branch, then two
+    Newton corrections on cos(a) = x (sin/cos DO lower) so the f64
+    interpret-mode parity tests see near-machine accuracy too."""
+    t = jnp.abs(x)
+    p = -0.0012624911
+    for c in (
+        0.0066700901,
+        -0.0170881256,
+        0.0308918810,
+        -0.0501743046,
+        0.0889789874,
+        -0.2145988016,
+        1.5707963050,
+    ):
+        p = p * t + c
+    ac = jnp.sqrt(jnp.maximum(1.0 - t, 0.0)) * p
+    neg = (x < 0.0).astype(x.dtype)
+    ac = neg * (jnp.pi - ac) + (1.0 - neg) * ac
+    for _ in range(2):
+        ac = ac + (jnp.cos(ac) - x) / jnp.maximum(jnp.sin(ac), 1e-30)
+    return ac
+
+
 def t_eig_sym33(A, eps=1e-12):
     """Eigenvalues (descending) + eigenvectors of symmetric (3, 3, E).
 
@@ -1596,7 +1627,7 @@ def t_eig_sym33(A, eps=1e-12):
     p = jnp.sqrt(p2 + eps * eps)
     Bn = B / p
     r = jnp.clip(t_det(Bn) / 2.0, -1.0 + 1e-14, 1.0 - 1e-14)
-    phi = jnp.arccos(r) / 3.0
+    phi = t_acos(r) / 3.0
     lam0 = q + 2.0 * p * jnp.cos(phi)
     lam2 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
     lam1 = 3.0 * q - lam0 - lam2

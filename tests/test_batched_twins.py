@@ -105,3 +105,25 @@ def _run_twin_case(name, mesh, model, mats, bcs, gtype):
     np.testing.assert_allclose(
         np.asarray(diag), np.asarray(diag0), atol=5e-7 * scale_J
     )
+
+
+def test_t_acos_matches_arccos():
+    """The twin eig's polynomial arccos (Mosaic lowers NO inverse trig
+    — probed on hardware, scripts/probe_mosaic_trig.py) must match
+    jnp.arccos to machine accuracy in f64 (interpret-mode parity) and
+    to rounding in f32 (the TPU kernel dtype), across the full clipped
+    input range used by t_eig_sym33."""
+    from calibr8_tpu.models.batched import t_acos
+
+    x = np.linspace(-1.0 + 1e-14, 1.0 - 1e-14, 100001)
+    err = np.abs(np.asarray(t_acos(jnp.asarray(x))) - np.arccos(x))
+    assert err.max() < 1e-13
+    # the eigenvalue-relevant quantity is cos(acos(x)/3); check the
+    # round trip that bounds it
+    cerr = np.abs(np.cos(np.asarray(t_acos(jnp.asarray(x)))) - x)
+    assert cerr.max() < 5e-16
+    xf = x.astype(np.float32)
+    outf = np.asarray(t_acos(jnp.asarray(xf)))
+    assert outf.dtype == np.float32
+    cerrf = np.abs(np.cos(outf.astype(np.float64)) - xf.astype(np.float64))
+    assert cerrf.max() < 5e-7
