@@ -941,7 +941,10 @@ def main():
                 err["stderr_tail"] = r.stderr[-600:]
             cached = _load_cached(mode, dtype, n)
             detail[key] = (
-                dict(cached, live_error=err["error"]) if cached else err
+                dict(cached, live_error=err["error"],
+                     live_stderr_tail=err.get("stderr_tail", ""))
+                if cached
+                else err
             )
         emit()
 
