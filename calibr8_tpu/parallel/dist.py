@@ -680,7 +680,13 @@ class DistContext:
             # TPU the apply runs the Pallas block kernel over a
             # once-per-Jacobian trailing transpose of the blocks.
             A_ell = self.ell_assemble(J_T)
-            if jax.default_backend() == "tpu":
+            if (
+                jax.default_backend() == "tpu"
+                and A_ell.dtype != jnp.float64
+            ):
+                # f64 Pallas never compiles on this TPU stack (X64
+                # rewrite has no tpu_custom_call rule) — f64 stays on
+                # the einsum apply
                 A_T = self.ell_trailing(A_ell)
 
                 def op(v):

@@ -254,8 +254,16 @@ class EllOperator:
                 A_T, ((0, 0), (0, 0), (0, 0), (0, self.N_pad - n))
             )
             self.K = self.A_T.shape[0]
+            # f64 Pallas is structurally impossible on this TPU stack
+            # (the X64-rewrite pass has no tpu_custom_call rule — the
+            # same gate as fem/pallas_assembly.supports_pallas); the
+            # f64 apply runs the SAME trailing layout through an XLA
+            # einsum instead of the kernel.
+            if self.A_T.dtype == jnp.float64:
+                self._blk = None
         else:
             self._blk = None
+            self.N_pad = None
             A, nbr = assemble_ell(J_e, disc)
             self.A = A
             self.K = A.shape[1]
@@ -304,6 +312,13 @@ class EllOperator:
                 G_T,
             )
             y = disc.nodemat_to_flat(Y_T[:, : self.n_nodes].T)
+        elif self.N_pad is not None:
+            # TPU f64: same trailing layout, XLA einsum apply
+            G_T = jnp.moveaxis(G, 0, -1)  # (K, ndpn, n)
+            Y_T = jnp.einsum(
+                "sijn,sjn->in", self.A_T[..., : self.n_nodes], G_T
+            )
+            y = disc.nodemat_to_flat(Y_T.T)
         else:
             y = disc.nodemat_to_flat(
                 jnp.einsum("nsij,nsj->ni", self.A, G)
