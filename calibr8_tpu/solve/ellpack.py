@@ -62,12 +62,13 @@ def build_ell_maps(disc):
         n_e, npe, npe
     )
 
-    maps = dict(
-        nbr=jnp.asarray(nbr),
-        ell_idx=jnp.asarray(ell_idx),
-        ell_idx_T=jnp.asarray(ell_idx_T),
-        K=K,
-    )
+    # cache HOST numpy arrays: jnp.asarray here would return tracers
+    # when the first build happens inside a jit trace, and the cached
+    # tracers leak into every later trace (UnexpectedTracerError — hit
+    # by the scan-harness benches, which trace the same solve twice in
+    # one process).  Consumers pass these to jnp ops, which stage
+    # per-trace constants; Disc.bind substitutes hoisted tracers.
+    maps = dict(nbr=nbr, ell_idx=ell_idx, ell_idx_T=ell_idx_T, K=K)
     disc._ell_maps = maps
     return maps
 

@@ -69,3 +69,37 @@ def test_ell_matches_ebe():
         ),
         atol=1e-11,
     )
+
+
+def test_ell_maps_cache_is_host_side():
+    """build_ell_maps must cache HOST numpy arrays: a first build
+    inside a jit trace used to cache tracers, which leaked into every
+    later trace of the same Disc (UnexpectedTracerError — hit on TPU by
+    the scan-harness benches, which trace the same solve twice in one
+    process)."""
+    import jax
+
+    from calibr8_tpu.solve.ellpack import build_ell_maps
+
+    deck = make_deck(
+        {"type": "cube", "n": 2}, "small_J2", J2_MAT, None, 1
+    )
+    prob = Problem(load_deck(deck))
+    disc = prob.disc
+    disc._ell_maps = None
+
+    @jax.jit
+    def first(x):
+        m = build_ell_maps(disc)  # first build happens INSIDE a trace
+        return x + jnp.asarray(m["nbr"]).sum()
+
+    first(1.0)
+    assert isinstance(disc._ell_maps["nbr"], np.ndarray)
+    assert isinstance(disc._ell_maps["ell_idx_T"], np.ndarray)
+
+    @jax.jit
+    def second(x):  # the second trace must not see stale tracers
+        m = build_ell_maps(disc)
+        return x + jnp.asarray(m["ell_idx"]).sum()
+
+    second(1.0)
