@@ -706,21 +706,31 @@ def _twin_row(case, dtype_str, n):
         x, x_prev, xi_prev = representative_state(prob)
         args = (x, x_prev, xi_prev, prob.params0)
 
-        os.environ["CALIBR8_PALLAS"] = "0"
-        body, consts = _assemble_body(prob)
-        row["xla_seconds"] = timeit_scan(
-            body, args + consts, 5, lambda o: o[0].ravel()[0]
-        )
-        os.environ["CALIBR8_PALLAS"] = "1"
+        # Pallas FIRST: a fault in one path must not lose the other's
+        # row (the hypo_barlat XLA-path program reproducibly faults
+        # the chip at runtime; the twin row died before measuring the
+        # kernel it exists to measure)
         if (
             jax.devices()[0].platform == "tpu"
             and dtype == jnp.float32
             and pallas_assembly.supports_pallas(prob.assembler)
         ):
+            try:
+                body, consts = _assemble_body(prob)
+                row["pallas_seconds"] = timeit_scan(
+                    body, args + consts, 5, lambda o: o[0].ravel()[0]
+                )
+            except Exception as e:  # noqa: BLE001 — record per-path
+                row["pallas_error"] = str(e)[-200:]
+        os.environ["CALIBR8_PALLAS"] = "0"
+        try:
             body, consts = _assemble_body(prob)
-            row["pallas_seconds"] = timeit_scan(
+            row["xla_seconds"] = timeit_scan(
                 body, args + consts, 5, lambda o: o[0].ravel()[0]
             )
+        except Exception as e:  # noqa: BLE001 — record per-path
+            row["xla_error"] = str(e)[-200:]
+        if "xla_seconds" in row and "pallas_seconds" in row:
             row["speedup"] = row["xla_seconds"] / row["pallas_seconds"]
         row["bench_wall_s"] = round(time.perf_counter() - t_model, 1)
         return row
