@@ -559,14 +559,15 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None):
 
         loc = loc_h(hoist, x, x_prev, xi_prev, params)
     jfn, consts, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
-    dt = timeit_scan(
-        jfn,
-        (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0) + consts,
-        iters,
-        lambda out: out.grad.ravel()[0],
-    )
+    args = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0) + consts
+    dt = timeit_scan(jfn, args, iters, lambda out: out.grad.ravel()[0])
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
+    # honesty check: the one-level precond can stagnate near the f32
+    # floor; the recorded relres shows whether tol was actually reached
+    out["solve_relres"] = float(jax.jit(jfn)(*args).relres)
+    if mg is not None:
+        out["preconditioner"] = "multigrid"
 
 
 def run_calibration(dtype_str):
@@ -792,9 +793,9 @@ def run_mode(mode, dtype_str, n, model=None):
     if mode == "twins":
         return run_twins(dtype_str, n, model=model)
 
-    refinements = 2 if mode == "newton_mg" else 0
-    if mode == "newton_mg":
-        mode = "newton"
+    refinements = 2 if mode in ("newton_mg", "adjoint_mg") else 0
+    if mode in ("newton_mg", "adjoint_mg"):
+        mode = mode[: -len("_mg")]
     iters = 10 if dtype_str == "f32" else 5
 
     if mode == "calibration":
@@ -839,6 +840,19 @@ def run_mode(mode, dtype_str, n, model=None):
         out["adjoint_s_per_step_at_10M_dof_extrapolated"] = (
             adjd["seconds"] * 1e7 / disc.n_dofs
         )
+        # memory-per-DOF accounting: peak HBM across the three phases
+        # bounds the chip-limit mesh (16 GB HBM on one v5e).
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            peak = ms.get("peak_bytes_in_use", 0)
+            if peak:
+                out["hbm_peak_bytes"] = int(peak)
+                out["hbm_bytes_per_dof"] = round(peak / disc.n_dofs, 1)
+                out["max_dofs_at_16gb_extrapolated"] = int(
+                    16e9 / (peak / disc.n_dofs)
+                )
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            pass
         out["device"] = str(jax.devices()[0])
         return out
 
@@ -850,7 +864,10 @@ def run_mode(mode, dtype_str, n, model=None):
     elif mode == "newton":
         _bench_newton(prob, out, dtype_str, iters, refinements=refinements)
     elif mode == "adjoint":
-        _bench_adjoint(prob, out, dtype_str, iters)
+        _bench_adjoint(
+            prob, out, dtype_str, iters,
+            mg=prob.mg_factory if refinements else None,
+        )
     out["device"] = str(jax.devices()[0])
     return out
 
@@ -921,6 +938,7 @@ def main():
         ("newton", "f32", 32),
         ("adjoint", "f32", 32),
         ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
+        ("adjoint_mg", "f32", 8),
         ("scale", "f32", int(os.environ.get("CALIBR8_BENCH_SCALE_N", 64))),
         ("calibration", "f64", 0),  # iterations-to-tol, reference FEMU analog
         ("assembly", "f64", 20),

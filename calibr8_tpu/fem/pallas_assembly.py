@@ -177,6 +177,9 @@ def make_pallas_assemble(
         # twins with heavy per-element state declare a smaller block to
         # fit the VMEM stack
         block_e = getattr(bmodel, "block_e", 1024)
+    # the element axis is the minor-most (lane) dim of every block:
+    # Mosaic rejects blocks whose lane dim is not a multiple of 128
+    block_e = -(-block_e // 128) * 128
     elem_level = n_elem is not None
     nxi = assembler.nxi
     nde = spec.ndofs_elem

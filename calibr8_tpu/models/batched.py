@@ -1914,7 +1914,11 @@ class BatchedHypoBarlat(BatchedHypoHill):
     name = "hypo_barlat"
     freeze_path = True
     newton_iters = 30
-    block_e = 64  # two eigs + polar under 7 tangent seeds
+    # two eigs + polar under 7 tangent seeds are VMEM-heavy, but 128
+    # is the floor: Mosaic rejects any minor-most block dim that is
+    # not a lane multiple (observed "array shape (16, 24576)" BlockSpec
+    # error on chip with block_e=64).
+    block_e = 128
 
     def _flow(self, alpha, parT):
         Y, K, S, D = parT[2], parT[4], parT[5], parT[6]
