@@ -329,19 +329,32 @@ def timeit_scan(fn, args, iters, scalar_of, chain_idx=0):
         # the scanned form can RESOURCE_EXHAUST where the plain program
         # fits (the while-loop body pins extra liveness right at the
         # HBM limit — hit by the 1.1M-DOF scale adjoint solve).  Fall
-        # back to per-call sync: over-reports by the ~30 ms tunnel RTT
-        # per iteration, negligible for the multi-second steps that
-        # reach this path.  Genuine failures (e.g. f64 pallas) re-raise
-        # from the fallback.
-        jfn = jax.jit(fn)
+        # back to per-call sync.  Genuine failures (e.g. f64 pallas)
+        # re-raise from the fallback — though an axon OOM can wedge the
+        # client so the fallback reads UNAVAILABLE; callers near the
+        # HBM limit should use timeit_sync directly.
+        return timeit_sync(fn, args, iters)
+
+
+def timeit_sync(fn, args, iters):
+    """Per-call sync timing: over-reports by the ~30 ms tunnel RTT per
+    call — negligible (<1%) for multi-second steps.  Used DIRECTLY for
+    the scale-mode newton/adjoint steps: their scanned form's extra
+    liveness OOMs the 16 GB HBM, and an axon RESOURCE_EXHAUSTED wedges
+    the client for the rest of the process (every later call reads
+    UNAVAILABLE — observed on the 1.1M-DOF runs), so the scan attempt
+    itself must never happen there."""
+    import jax
+
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    k = max(2, iters // 2)
+    t0 = time.perf_counter()
+    for _ in range(k):
         out = jfn(*args)
         jax.block_until_ready(out)
-        k = max(2, iters // 2)
-        t0 = time.perf_counter()
-        for _ in range(k):
-            out = jfn(*args)
-            jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / k
+    return (time.perf_counter() - t0) / k
 
 
 def cost_analysis(fn, args):
@@ -482,7 +495,8 @@ def _newton_fn(prob, dtype_str, mg, hoist=None):
     return body, (hoist, mg_hoist, aux)
 
 
-def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None):
+def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None,
+                  sync=False):
     import jax
 
     disc = prob.disc
@@ -492,7 +506,10 @@ def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None):
     mg = prob.mg_factory if refinements else None
     body, consts = _newton_fn(prob, dtype_str, mg, hoist=hoist)
     args = (x, x_prev, xi_prev, params, bc_dofs, bc_vals) + consts
-    dt = timeit_scan(body, args, iters, lambda out: out[3])
+    if sync:
+        dt = timeit_sync(body, args, iters)
+    else:
+        dt = timeit_scan(body, args, iters, lambda out: out[3])
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
     out["solve_relres"] = float(jax.jit(body)(*args)[3])
@@ -542,7 +559,8 @@ def _make_adjoint_fn(prob, dtype_str, hoist=None, mg=None):
     return step_h, (hoist, mg_hoist), f0, g0
 
 
-def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None):
+def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None,
+                   sync=False):
     import jax
 
     disc = prob.disc
@@ -560,7 +578,10 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None):
         loc = loc_h(hoist, x, x_prev, xi_prev, params)
     jfn, consts, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
     args = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0) + consts
-    dt = timeit_scan(jfn, args, iters, lambda out: out.grad.ravel()[0])
+    if sync:
+        dt = timeit_sync(jfn, args, iters)
+    else:
+        dt = timeit_scan(jfn, args, iters, lambda out: out.grad.ravel()[0])
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
     # honesty check: the one-level precond can stagnate near the f32
@@ -824,12 +845,15 @@ def run_mode(mode, dtype_str, n, model=None):
             out["preconditioner"] = "multigrid"
         _bench_assembly(prob, out, 5, with_roofline=False, hoist=hoist)
         nwt = {}
-        _bench_newton(prob, nwt, dtype_str, 3, refinements=refs, hoist=hoist)
+        _bench_newton(
+            prob, nwt, dtype_str, 3, refinements=refs, hoist=hoist, sync=True
+        )
         out["newton_seconds"] = nwt["seconds"]
         out["newton_solve_relres"] = nwt["solve_relres"]
         adjd = {}
         _bench_adjoint(
-            prob, adjd, dtype_str, 3, hoist=hoist, mg=prob.mg_factory
+            prob, adjd, dtype_str, 3, hoist=hoist, mg=prob.mg_factory,
+            sync=True,
         )
         out["adjoint_seconds"] = adjd["seconds"]
         out["adjoint_dof_per_s_per_chip"] = disc.n_dofs / adjd["seconds"]
