@@ -891,6 +891,10 @@ def run_mode(mode, dtype_str, n, model=None):
         _bench_adjoint(
             prob, out, dtype_str, iters,
             mg=prob.mg_factory if refinements else None,
+            # the f64 scanned adjoint faults the chip and wedges the
+            # axon client (UNAVAILABLE on the fallback too; 3 runs);
+            # per-call sync is <1% RTT noise on a multi-second step
+            sync=dtype_str == "f64",
         )
     out["device"] = str(jax.devices()[0])
     return out
