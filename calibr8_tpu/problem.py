@@ -162,7 +162,16 @@ class Problem:
             ),
             line_search=_ls_params(gr.get("line search", {})),
         )
-        self.step_solver = StepSolver(self.assembler, newton_cfg)
+        if gr.get("solver") == "jitted":
+            # production path: whole Newton loop in one XLA program
+            # per load step (solve/jit_newton.JitStepSolver) — pick it
+            # for calibration loops on tunneled chips, where eager
+            # per-iteration dispatches (~30 ms RTT each) dominate
+            from calibr8_tpu.solve.jit_newton import JitStepSolver
+
+            self.step_solver = JitStepSolver(self.assembler, newton_cfg)
+        else:
+            self.step_solver = StepSolver(self.assembler, newton_cfg)
 
         # multigrid preconditioning (the MueLu AMG analog,
         # linear_solve.cpp:36-123): geometric on a uniform-refinement
@@ -184,6 +193,12 @@ class Problem:
 
             self.mg_factory = AMGPrecondFactory(self.disc)
         if self.mg_factory is not None:
+            if gr.get("solver") == "jitted":
+                raise ValueError(
+                    "global residual 'solver: jitted' does not thread the "
+                    "multigrid preconditioner; use the default host solver "
+                    "for 'preconditioner: multigrid/amg' decks"
+                )
             self.step_solver.mg_factory = self.mg_factory
 
         self.dbcs = DirichletBCs(

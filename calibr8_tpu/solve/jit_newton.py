@@ -172,3 +172,59 @@ def make_jit_trajectory(assembler, time_grid, dbcs, max_iters=15,
         return xs, xis, paths, norms, fails
 
     return run
+
+
+class JitStepSolver:
+    """Drop-in step solver running the WHOLE Newton loop as one XLA
+    program per load step (make_jit_step), exposing the same
+    solve_at_step contract as solve/newton.StepSolver.
+
+    One device dispatch per step instead of several per Newton
+    iteration: on a tunneled TPU every eager dispatch costs ~30 ms
+    RTT, which dominates calibration objective evaluations on small
+    meshes (the reference's per-evaluation forward solve,
+    source/calibr8/src/primal.cpp:31-209, pays the same per-iteration
+    latencies through Tpetra).  Deck opt-in:
+
+        global residual: {solver: jitted}
+
+    Semantics vs the host solver: fixed-budget backtracking damping
+    instead of the printing Armijo cubic line search, no per-iteration
+    convergence prints, and the multigrid preconditioner hook is not
+    threaded through (use the host solver for MG decks).  A failed
+    step raises NewtonSolveError exactly like the host path, so
+    optimizer failure handling (opt/drivers.py penalty_inward /
+    repeat_last) behaves identically."""
+
+    def __init__(self, assembler, cfg):
+        self.assembler = assembler
+        self.cfg = cfg
+        self._step = None
+
+    def solve_at_step(
+        self, x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force,
+        step: int = 0,
+    ):
+        from calibr8_tpu.solve.newton import NewtonSolveError
+
+        if self._step is None:
+            cfg = self.cfg
+            self._step = jax.jit(
+                make_jit_step(
+                    self.assembler,
+                    max_iters=cfg.max_iters,
+                    abs_tol=cfg.abs_tol,
+                    rel_tol=cfg.rel_tol,
+                    ls_evals=cfg.line_search.max_evals,
+                    linear_cfg=cfg.linear,
+                )
+            )
+        x_new, xi, path, norm, failed = self._step(
+            x, x_prev, xi_prev, params, bc_dofs, bc_vals, ext_force
+        )
+        if bool(failed):
+            raise NewtonSolveError(
+                f"jitted primal step {step} failed "
+                f"(|R| = {float(norm):.3e} after {self.cfg.max_iters} iters)"
+            )
+        return x_new, xi, path, dict(resid_norm=float(norm))

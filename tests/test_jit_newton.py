@@ -50,3 +50,46 @@ def test_vmap_multi_experiment(prob):
     np.testing.assert_allclose(
         np.asarray(xs[0, -1]), np.asarray(xs0[-1]), atol=1e-10
     )
+
+
+@pytest.mark.smoke
+def test_jitted_step_solver_deck_opt_in():
+    """'global residual: {solver: jitted}' routes the primal through
+    JitStepSolver and reproduces the host-solver trajectory + QoI."""
+    from calibr8_tpu.solve.jit_newton import JitStepSolver
+
+    deck = make_deck(
+        {"type": "notch2D", "h": 0.25}, "small_J2", J2_MAT, BCS_2D(0.002), 2
+    )
+    deck_j = {k: (dict(v) if isinstance(v, dict) else v) for k, v in deck.items()}
+    deck_j["residuals"] = {
+        "global residual": dict(
+            deck["residuals"]["global residual"], solver="jitted"
+        ),
+        "local residual": deck["residuals"]["local residual"],
+    }
+    p_host = Problem(load_deck(deck))
+    p_jit = Problem(load_deck(deck_j))
+    assert isinstance(p_jit.step_solver, JitStepSolver)
+    t_host = p_host.solve_primal()
+    t_jit = p_jit.solve_primal()
+    np.testing.assert_allclose(
+        np.asarray(t_jit.x[-1]), np.asarray(t_host.x[-1]), atol=1e-9
+    )
+    assert abs(t_jit.J - t_host.J) <= 1e-10 * max(abs(t_host.J), 1e-30)
+
+
+def test_jitted_step_solver_rejects_mg_deck():
+    deck = make_deck(
+        {"type": "notch2D", "h": 0.25}, "small_J2", J2_MAT, BCS_2D(0.002), 1
+    )
+    deck["residuals"]["global residual"]["solver"] = "jitted"
+    deck["linear algebra"] = {
+        "method": "gmres",
+        "tolerance": 1e-8,
+        "maximum iterations": 200,
+        "preconditioner": "multigrid",
+    }
+    deck["discretization"]["builtin mesh"]["refinements"] = 1
+    with pytest.raises(ValueError, match="jitted"):
+        Problem(load_deck(deck))
