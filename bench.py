@@ -624,6 +624,11 @@ def run_calibration(dtype_str):
         "residuals": {
             "global residual": {
                 "type": "mechanics_plane_stress",
+                # jitted step solver: the whole Newton loop is one XLA
+                # program per load step — on the tunneled chip the
+                # host-orchestrated loop's ~30 ms/dispatch RTTs
+                # dominated each objective evaluation (8.4 s/eval)
+                "solver": "jitted",
                 "nonlinear max iters": 30,
                 "nonlinear absolute tol": 1e-6 if dtype_str == "f32" else 1e-8,
                 "nonlinear relative tol": 1e-6 if dtype_str == "f32" else 1e-8,
