@@ -1,0 +1,71 @@
+"""Phase-isolated scale probe: run ONE scale-bench phase per process.
+
+The full scale mode (bench.py --mode scale) died twice at n=64 with
+UNAVAILABLE on the newton warmup; an axon fault wedges the client for
+the rest of the process, so this probe isolates phases into separate
+processes to find (and work around) the faulting one.
+
+Usage (TPU):
+  PYTHONPATH=/root/repo:$PYTHONPATH CALIBR8_X64=0 \
+  python scripts/scale_probe.py {assembly|newton|adjoint} [n=64] [refs=3]
+
+Prints one JSON line per phase.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def main():
+    phase = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    refs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    dtype_str = "f64" if os.environ.get("CALIBR8_X64", "0") == "1" else "f32"
+
+    import jax
+
+    import bench
+
+    t0 = time.perf_counter()
+    base_n = max(2, n >> refs) if refs else n
+    prob = bench.build_problem(base_n, dtype_str, refinements=refs)
+    disc = prob.disc
+    hoist = disc.hoist_args(ell=True)
+    out = {
+        "phase": phase,
+        "n_elem": int(disc.n_elem),
+        "n_dofs": int(disc.n_dofs),
+        "setup_s": round(time.perf_counter() - t0, 1),
+    }
+    print(json.dumps(out), flush=True)
+
+    if phase == "assembly":
+        bench._bench_assembly(prob, out, 5, with_roofline=False, hoist=hoist)
+    elif phase == "newton":
+        bench._bench_newton(
+            prob, out, dtype_str, 3, refinements=refs, hoist=hoist, sync=True
+        )
+    elif phase == "adjoint":
+        bench._bench_adjoint(
+            prob, out, dtype_str, 3, hoist=hoist, mg=prob.mg_factory,
+            sync=True,
+        )
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+    out["device"] = str(jax.devices()[0])
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        out["hbm_peak_bytes"] = int(ms.get("peak_bytes_in_use", 0))
+    except Exception:  # noqa: BLE001
+        pass
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
