@@ -462,7 +462,12 @@ def _newton_fn(prob, dtype_str, mg, hoist=None):
         method="gmres",
         tol=5e-3 if dtype_str == "f32" else 1e-6,
         max_iters=800,
-        restart=100,
+        # the restart basis is the dominant Krylov HBM cost at scale
+        # (restart x n_dofs x 4 B: 100 x 1.1M ~ 440 MB f32); the scale
+        # mode runs MG-preconditioned (~flat, tens of iterations) and
+        # overrides this down — the 1.1M-DOF adjoint compile OOM'd HBM
+        # by just 77 MB at restart=150
+        restart=int(os.environ.get("CALIBR8_BENCH_RESTART", 100)),
         refine_iters=1,
     )
 
@@ -529,7 +534,7 @@ def _make_adjoint_fn(prob, dtype_str, hoist=None, mg=None):
         method="gmres",
         tol=1e-4 if dtype_str == "f32" else 1e-8,
         max_iters=1500,
-        restart=150,
+        restart=int(os.environ.get("CALIBR8_BENCH_RESTART", 150)),
         refine_iters=0,
     )
     adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, lin_cfg, mg_factory=mg)
@@ -841,6 +846,9 @@ def run_mode(mode, dtype_str, n, model=None):
         # applies (the one-level precond stalls at relres ~4e-3 at 1M
         # DOF — measured h-growth, the reason MueLu exists).
         refs = int(os.environ.get("CALIBR8_BENCH_SCALE_REFINE", 3))
+        # lean Krylov basis: MG keeps counts in the tens, and the
+        # restart x n_dofs basis is what OOM'd the 1.1M-DOF compile
+        os.environ.setdefault("CALIBR8_BENCH_RESTART", "50")
         base_n = max(2, n >> refs) if refs else n
         prob = build_problem(base_n, dtype_str, refinements=refs)
         disc = prob.disc

@@ -20,6 +20,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# lean Krylov basis at scale (see bench.py scale mode): restart=150
+# OOM'd the 1.1M-DOF adjoint compile by 77 MB of HBM
+os.environ.setdefault("CALIBR8_BENCH_RESTART", "50")
 
 
 def main():
