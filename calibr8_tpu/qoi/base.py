@@ -51,6 +51,51 @@ class QoI:
         )
         return jnp.sum(vals)
 
+    def partials(self, x, x_prev, xi, params_all, aux):
+        """(dJ/dx (n_dofs,), dJ/dxi (n_elem, nxi), dJ/dp (n_sets, n_p)).
+
+        Default (element-form QoIs): per-element jax.grad of elem_value
+        vmapped with the ELEMENT AXIS LAST, then the row-based scatter —
+        the QoI<FADT> seeded-evaluation analog (qoi.cpp:226-233).  The
+        naive jax.grad of `evaluate` transposes its elem-FIRST vmap,
+        whose (E, npe, dim) broadcast/pad cotangents tile-pad 32-43x on
+        TPU (two 3 GB temps at 1.57M elements — the 1.1M-DOF adjoint
+        HBM OOM).  QoIs that override `evaluate` (load/side-set
+        mismatch forms) fall back to jax.grad of the override.
+        """
+        disc = self.disc
+        if type(self).evaluate is not QoI.evaluate:
+
+            def Jfn(x_, xi_, p_):
+                return self.evaluate(x_, x_prev, xi_, p_, aux)
+
+            return jax.grad(Jfn, argnums=(0, 1, 2))(x, xi, params_all)
+
+        x_eT = disc.gather_elem(x).T
+        xp_eT = disc.gather_elem(x_prev).T
+        gNT = jnp.moveaxis(disc.grad_N, 0, -1)
+        pars = params_all[disc.es_ids]
+
+        def one(x_e_, xp_e_, xi_, gN_, dJ_, h_, par_):
+            def f(xe, xie, pare):
+                return self.elem_value(
+                    xe, xp_e_, xie, (gN_, dJ_, h_), pare, aux
+                )
+
+            return jax.grad(f, argnums=(0, 1, 2))(x_e_, xi_, par_)
+
+        dx_eT, dxi_eT, dp_eT = jax.vmap(
+            one,
+            in_axes=(-1, -1, -1, -1, 0, 0, -1),
+            out_axes=(-1, -1, -1),
+        )(x_eT, xp_eT, xi.T, gNT, disc.detJ, disc.h, pars.T)
+        dJdx = disc.scatter_elem(dx_eT.T)
+        dJdxi = dxi_eT.T
+        dJdp = jax.ops.segment_sum(
+            dp_eT.T, disc.es_ids, num_segments=params_all.shape[0]
+        )
+        return dJdx, dJdxi, dJdp
+
     def postprocess(self, J: float, step: int) -> float:
         return J
 

@@ -108,7 +108,10 @@ class Adjoint:
     def _qoi_partials(self, x, x_prev, xi, params_all, aux):
         """Global QoI partials dJ/dx (n_dofs,), dJ/dxi (n_elem, nxi),
         dJ/dp (n_sets, n_params) — the analog of QoI<FADT> seeded
-        evaluations (qoi.cpp:226-233) via one jax.grad call."""
+        evaluations (qoi.cpp:226-233), computed per element in trailing
+        layout by QoI.partials (jax.grad of the elem-first `evaluate`
+        materializes 32-43x tile-padded cotangents at the 1M-DOF
+        scale — see qoi/base.py)."""
         disc = self.assembler.disc
         if self.qoi is None:
             return (
@@ -116,11 +119,7 @@ class Adjoint:
                 jnp.zeros((disc.n_elem, self.assembler.nxi), disc.dtype),
                 jnp.zeros_like(params_all),
             )
-
-        def Jfn(x_, xi_, p_):
-            return self.qoi.evaluate(x_, x_prev, xi_, p_, aux)
-
-        return jax.grad(Jfn, argnums=(0, 1, 2))(x, xi, params_all)
+        return self.qoi.partials(x, x_prev, xi, params_all, aux)
 
     def _step_impl(
         self, x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
