@@ -67,11 +67,13 @@ def main():
     )
     adj = None
     # rebuild the same Adjoint the bench fn wraps, for phase access
+    # same lean-restart knob as bench scale mode: restart=150 OOM'd the
+    # 1.1M-DOF MG adjoint compile by 77 MB of HBM
     lin_cfg = linear_mod.LinearCfg(
         method="gmres",
         tol=1e-4 if dtype_str == "f32" else 1e-8,
         max_iters=1500,
-        restart=150,
+        restart=int(os.environ.get("CALIBR8_BENCH_RESTART", 50)),
         refine_iters=0,
     )
     from calibr8_tpu.solve.adjoint import Adjoint
