@@ -372,6 +372,37 @@ def cost_analysis(fn, args):
         return 0.0, 0.0
 
 
+def report_mem(fn, args, out, tag=""):
+    """AOT HBM accounting (env CALIBR8_BENCH_MEMSTATS=1): compile the
+    jitted fn and record the XLA-reserved temp/argument/output bytes
+    BEFORE the first execution, so a run that then OOMs or faults the
+    device still leaves the memory evidence (the 1.1M-DOF scale newton
+    read UNAVAILABLE with no detail; this tells apart a genuinely
+    oversized program from a kernel fault)."""
+    import jax
+
+    if os.environ.get("CALIBR8_BENCH_MEMSTATS", "0") != "1":
+        return
+    try:
+        ma = jax.jit(fn).lower(*args).compile().memory_analysis()
+        rec = {}
+        for k in (
+            "temp_size_in_bytes",
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "generated_code_size_in_bytes",
+        ):
+            v = getattr(ma, k, None)
+            if v is not None:
+                rec[k.replace("_size_in_bytes", "_gb")] = round(v / 1e9, 3)
+        out[f"mem{tag}"] = rec
+        print(json.dumps({"mem_probe" + tag: rec}), flush=True)
+    except Exception as e:  # noqa: BLE001
+        out[f"mem{tag}_error"] = repr(e)[:200]
+        print(json.dumps({("mem_probe" + tag + "_error"): repr(e)[:200]}),
+              flush=True)
+
+
 def _assemble_body(prob, hoist=None):
     """Traceable assembly body + const args for timeit_scan: with
     `hoist`, the disc state and Pallas aux pass as jit arguments."""
@@ -511,6 +542,7 @@ def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None,
     mg = prob.mg_factory if refinements else None
     body, consts = _newton_fn(prob, dtype_str, mg, hoist=hoist)
     args = (x, x_prev, xi_prev, params, bc_dofs, bc_vals) + consts
+    report_mem(body, args, out)
     if sync:
         dt = timeit_sync(body, args, iters)
     else:
@@ -583,6 +615,7 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None,
         loc = loc_h(hoist, x, x_prev, xi_prev, params)
     jfn, consts, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
     args = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0) + consts
+    report_mem(jfn, args, out)
     if sync:
         dt = timeit_sync(jfn, args, iters)
     else:

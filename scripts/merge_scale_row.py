@@ -26,14 +26,21 @@ def main():
         if not line.startswith("{"):
             continue
         d = json.loads(line)
-        if "seconds" in d:  # completed phase (setup-only lines lack it)
-            phases[d["phase"]] = d
+        if "seconds" in d and "error" not in d:
+            # completed phase (setup-only lines lack "seconds"); the
+            # chain's diagnostic fallbacks may log a SMALLER mesh
+            # (newton size-bisect) — never mix sizes into one row
+            phases.setdefault(d["n_elem"], {})[d["phase"]] = d
 
+    # merge the largest mesh that completed all three phases
     need = {"assembly", "newton", "adjoint"}
-    missing = need - set(phases)
-    if missing:
-        raise SystemExit(f"incomplete: missing phases {sorted(missing)}")
-
+    full = [ne for ne, p in phases.items() if need <= set(p)]
+    if not full:
+        missing = {
+            ne: sorted(need - set(p)) for ne, p in phases.items()
+        }
+        raise SystemExit(f"incomplete: missing phases per size {missing}")
+    phases = phases[max(full)]
     a, nw, ad = phases["assembly"], phases["newton"], phases["adjoint"]
     out = {
         "n_elem": a["n_elem"],

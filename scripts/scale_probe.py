@@ -23,6 +23,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 # lean Krylov basis at scale (see bench.py scale mode): restart=150
 # OOM'd the 1.1M-DOF adjoint compile by 77 MB of HBM
 os.environ.setdefault("CALIBR8_BENCH_RESTART", "50")
+# AOT memory accounting before the first run: an OOM'd/faulted run
+# still leaves the HBM evidence (bench.report_mem)
+os.environ.setdefault("CALIBR8_BENCH_MEMSTATS", "1")
 
 
 def main():
@@ -48,25 +51,40 @@ def main():
     }
     print(json.dumps(out), flush=True)
 
-    if phase == "assembly":
-        bench._bench_assembly(prob, out, 5, with_roofline=False, hoist=hoist)
-    elif phase == "newton":
-        bench._bench_newton(
-            prob, out, dtype_str, 3, refinements=refs, hoist=hoist, sync=True
-        )
-    elif phase == "adjoint":
-        bench._bench_adjoint(
-            prob, out, dtype_str, 3, hoist=hoist, mg=prob.mg_factory,
-            sync=True,
-        )
-    else:
-        raise SystemExit(f"unknown phase {phase}")
-    out["device"] = str(jax.devices()[0])
+    def _record_hbm():
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            out["hbm_peak_bytes"] = int(ms.get("peak_bytes_in_use", 0))
+            out["hbm_in_use_bytes"] = int(ms.get("bytes_in_use", 0))
+        except Exception:  # noqa: BLE001
+            pass
+
     try:
-        ms = jax.local_devices()[0].memory_stats() or {}
-        out["hbm_peak_bytes"] = int(ms.get("peak_bytes_in_use", 0))
-    except Exception:  # noqa: BLE001
-        pass
+        if phase == "assembly":
+            bench._bench_assembly(
+                prob, out, 5, with_roofline=False, hoist=hoist
+            )
+        elif phase == "newton":
+            bench._bench_newton(
+                prob, out, dtype_str, 3, refinements=refs, hoist=hoist,
+                sync=True,
+            )
+        elif phase == "adjoint":
+            bench._bench_adjoint(
+                prob, out, dtype_str, 3, hoist=hoist, mg=prob.mg_factory,
+                sync=True,
+            )
+        else:
+            raise SystemExit(f"unknown phase {phase}")
+    except Exception as e:  # noqa: BLE001
+        # keep the mem_probe line + whatever HBM stats survive: the
+        # point of this probe is evidence from FAILED runs too
+        out["error"] = repr(e)[:500]
+        _record_hbm()
+        print(json.dumps(out), flush=True)
+        raise
+    out["device"] = str(jax.devices()[0])
+    _record_hbm()
     print(json.dumps(out), flush=True)
 
 
