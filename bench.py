@@ -1018,6 +1018,13 @@ def main():
         ("assembly", "f64", 20),
         ("newton", "f64", 20),
         ("adjoint", "f64", 20),
+        # f64 + multigrid on the SAME 48k-elem mesh as the one-level
+        # f64 rows above (base n=5 + 2 refinements = 20^3 cube): the
+        # one-level f64 adjoint converges but burns iterations near
+        # tol=1e-8; MG is the h-robust answer at f64 too (XLA path —
+        # f64 Pallas is structurally impossible on this TPU stack)
+        ("newton_mg", "f64", 5),
+        ("adjoint_mg", "f64", 5),
         # last: 16 models x 2 paths of compiles — the deadline cuts
         # this tail first; rows persist incrementally inside the mode
         ("twins", "f32", 16),
