@@ -61,6 +61,13 @@ def build_ell_maps(disc):
     ell_idx_T = (slot * n_nodes + u_i)[inv].astype(np.int32).reshape(
         n_e, npe, npe
     )
+    # assemble_ell_T's flat (a, b, e)-ordered form, precomputed on host
+    # so it can hoist through jit as an ARGUMENT: left as a per-trace
+    # constant it is 100 MB at 1.5M elements, and the scale newton's
+    # compiled program hit 3.8 GB of generated code / embedded data
+    ell_ids_T = np.ascontiguousarray(
+        ell_idx_T.transpose(1, 2, 0).reshape(-1)
+    )
 
     # cache HOST numpy arrays: jnp.asarray here would return tracers
     # when the first build happens inside a jit trace, and the cached
@@ -68,7 +75,10 @@ def build_ell_maps(disc):
     # by the scan-harness benches, which trace the same solve twice in
     # one process).  Consumers pass these to jnp ops, which stage
     # per-trace constants; Disc.bind substitutes hoisted tracers.
-    maps = dict(nbr=nbr, ell_idx=ell_idx, ell_idx_T=ell_idx_T, K=K)
+    maps = dict(
+        nbr=nbr, ell_idx=ell_idx, ell_idx_T=ell_idx_T,
+        ell_ids_T=ell_ids_T, K=K,
+    )
     disc._ell_maps = maps
     return maps
 
@@ -126,7 +136,7 @@ def assemble_ell_T(J_e, disc):
         .transpose(1, 3, 0, 2, 4)
         .reshape(ndpn * ndpn, npe * npe * n_e)
     )
-    ids = maps["ell_idx_T"].transpose(1, 2, 0).reshape(-1)  # (a, b, e)
+    ids = maps["ell_ids_T"]  # flat (a, b, e) order, host-precomputed
     A2 = jnp.zeros((ndpn * ndpn, K * n), V.dtype).at[:, ids].add(V)
     # (ndpn, ndpn, K, n) -> (K, ndpn, ndpn, n): minor axis stays big
     A_T = A2.reshape(ndpn, ndpn, K, n).transpose(2, 0, 1, 3)
