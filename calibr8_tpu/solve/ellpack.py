@@ -25,6 +25,8 @@ paid once per Newton iteration.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -271,6 +273,10 @@ class EllOperator:
             # f64 apply runs the SAME trailing layout through an XLA
             # einsum instead of the kernel.
             if self.A_T.dtype == jnp.float64:
+                self._blk = None
+            # bisect/workaround knob: CALIBR8_ELL_PALLAS=0 forces the
+            # XLA einsum apply on the same trailing layout
+            if os.environ.get("CALIBR8_ELL_PALLAS", "1") == "0":
                 self._blk = None
         else:
             self._blk = None
