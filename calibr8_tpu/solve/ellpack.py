@@ -132,14 +132,44 @@ def assemble_ell_T(J_e, disc):
         JT = J_e[:, :, :n_e]
     else:
         JT = jnp.moveaxis(J_e, 0, -1)
-    # (nde, nde, E) -> (ndpn^2, npe^2 * E) with column order (a, b, e)
-    V = (
-        JT.reshape(npe, ndpn, npe, ndpn, n_e)
-        .transpose(1, 3, 0, 2, 4)
-        .reshape(ndpn * ndpn, npe * npe * n_e)
-    )
     ids = maps["ell_ids_T"]  # flat (a, b, e) order, host-precomputed
-    A2 = jnp.zeros((ndpn * ndpn, K * n), V.dtype).at[:, ids].add(V)
+
+    def scatter_block(A2, Jc, idc):
+        # (nde, nde, C) -> (ndpn^2, npe^2 * C), column order (a, b, e)
+        C = Jc.shape[-1]
+        Vc = (
+            Jc.reshape(npe, ndpn, npe, ndpn, C)
+            .transpose(1, 3, 0, 2, 4)
+            .reshape(ndpn * ndpn, npe * npe * C)
+        )
+        return A2.at[:, idc.reshape(-1)].add(Vc)
+
+    A2 = jnp.zeros((ndpn * ndpn, K * n), JT.dtype)
+    from calibr8_tpu.fem.assembly import _elem_chunk_size
+
+    chunk = _elem_chunk_size()
+    if n_e <= chunk:
+        A2 = scatter_block(A2, JT, ids)
+    else:
+        # chunk the scatter over elements: the one-shot form's permuted
+        # copy V is (ndpn^2, npe^2*E) = 1.6 GB at 1.5M elements, right
+        # when the scale newton sits at the HBM edge.  dynamic_slice
+        # per chunk bounds the live temp to one chunk with no stacked
+        # input copy (lax.map's prep would re-copy all of JT).
+        ids2 = jnp.reshape(ids, (npe * npe, n_e))
+        nfull = n_e // chunk
+
+        def body(c, A2):
+            s = c * chunk
+            Jc = jax.lax.dynamic_slice_in_dim(JT, s, chunk, axis=2)
+            idc = jax.lax.dynamic_slice_in_dim(ids2, s, chunk, axis=1)
+            return scatter_block(A2, Jc, idc)
+
+        A2 = jax.lax.fori_loop(0, nfull, body, A2)
+        if n_e % chunk:
+            A2 = scatter_block(
+                A2, JT[:, :, nfull * chunk:], ids2[:, nfull * chunk:]
+            )
     # (ndpn, ndpn, K, n) -> (K, ndpn, ndpn, n): minor axis stays big
     A_T = A2.reshape(ndpn, ndpn, K, n).transpose(2, 0, 1, 3)
     return A_T, maps["nbr"]
