@@ -154,9 +154,11 @@ class Disc:
             m = build_ell_maps(self)  # host build BEFORE any trace
             st["ell_nbr"] = m["nbr"]
             st["ell_idx"] = m["ell_idx"]
-            # the TPU assemble_ell_T scatter ids: 100 MB at 1.5M
-            # elements if left as an embedded per-trace constant
+            # the TPU assemble_ell_T scatter ids (forward + transposed
+            # operator): 100 MB each at 1.5M elements if left as
+            # embedded per-trace constants
             st["ell_ids_T"] = m["ell_ids_T"]
+            st["ell_ids_T_swap"] = m["ell_ids_T_swap"]
         return st
 
     @contextlib.contextmanager
@@ -175,8 +177,9 @@ class Disc:
                 self._ell_maps = dict(
                     old_ell, nbr=st["ell_nbr"], ell_idx=st["ell_idx"]
                 )
-                if "ell_ids_T" in st:
-                    self._ell_maps["ell_ids_T"] = st["ell_ids_T"]
+                for k in ("ell_ids_T", "ell_ids_T_swap"):
+                    if k in st:
+                        self._ell_maps[k] = st[k]
             yield
         finally:
             for k, v in olds.items():

@@ -70,6 +70,13 @@ def build_ell_maps(disc):
     ell_ids_T = np.ascontiguousarray(
         ell_idx_T.transpose(1, 2, 0).reshape(-1)
     )
+    # transposed-operator ids: entry (e, a, b) scatters to the (row
+    # conn[e,b], col conn[e,a]) slot, so A^T assembles directly from
+    # J_e (block-transposed in the value permute) with NO swapaxes
+    # copy of the 1.6 GB trailing Jacobian (adjoint scale OOM)
+    ell_ids_T_swap = np.ascontiguousarray(
+        ell_idx_T.transpose(2, 1, 0).reshape(-1)
+    )
 
     # cache HOST numpy arrays: jnp.asarray here would return tracers
     # when the first build happens inside a jit trace, and the cached
@@ -79,7 +86,7 @@ def build_ell_maps(disc):
     # per-trace constants; Disc.bind substitutes hoisted tracers.
     maps = dict(
         nbr=nbr, ell_idx=ell_idx, ell_idx_T=ell_idx_T,
-        ell_ids_T=ell_ids_T, K=K,
+        ell_ids_T=ell_ids_T, ell_ids_T_swap=ell_ids_T_swap, K=K,
     )
     disc._ell_maps = maps
     return maps
@@ -115,11 +122,17 @@ def assemble_ell(J_e, disc):
     return flat.reshape(disc.n_nodes, K, ndpn, ndpn), maps["nbr"]
 
 
-def assemble_ell_T(J_e, disc):
+def assemble_ell_T(J_e, disc, transpose=False):
     """TPU ELL assembly DIRECTLY in the kernel's trailing layout
     (K, ndpn, ndpn, n_nodes): every materialized array keeps its big
     axis minormost (lane-aligned), so nothing tile-pads.  One
-    scatter-add along the minor axis replaces the segment_sum."""
+    scatter-add along the minor axis replaces the segment_sum.
+
+    With `transpose`, assembles A^T straight from J_e: entry (e, a, b)
+    goes to the (row conn[e,b], col conn[e,a]) slot with the block
+    transposed inside the value permute — no swapaxes copy of the
+    trailing Jacobian (1.6 GB at 1.5M elements, right at the scale
+    adjoint's HBM edge)."""
     maps = build_ell_maps(disc)
     n_e = disc.n_elem
     npe = disc.spec.npe
@@ -132,14 +145,18 @@ def assemble_ell_T(J_e, disc):
         JT = J_e[:, :, :n_e]
     else:
         JT = jnp.moveaxis(J_e, 0, -1)
-    ids = maps["ell_ids_T"]  # flat (a, b, e) order, host-precomputed
+    # flat (a, b, e) order, host-precomputed
+    ids = maps["ell_ids_T_swap" if transpose else "ell_ids_T"]
 
     def scatter_block(A2, Jc, idc):
-        # (nde, nde, C) -> (ndpn^2, npe^2 * C), column order (a, b, e)
+        # (nde, nde, C) -> (ndpn^2, npe^2 * C), column order (a, b, e);
+        # axes of the reshape are (a, i, b, j, e) — the transposed
+        # operator stores the block's (j, i) entry instead
         C = Jc.shape[-1]
+        perm = (3, 1, 0, 2, 4) if transpose else (1, 3, 0, 2, 4)
         Vc = (
             Jc.reshape(npe, ndpn, npe, ndpn, C)
-            .transpose(1, 3, 0, 2, 4)
+            .transpose(*perm)
             .reshape(ndpn * ndpn, npe * npe * C)
         )
         return A2.at[:, idc.reshape(-1)].add(Vc)
@@ -266,10 +283,11 @@ class EllOperator:
     """y = A x with Dirichlet rows diag * x (built once per Jacobian)."""
 
     def __init__(self, disc, J_e, diag, bc_dofs, transpose=False):
-        if transpose:
-            # transpose of the assembled operator: transpose each
-            # element block BEFORE assembly (the trailing swap is
-            # hoisted/materialized once by jit)
+        on_tpu = jax.default_backend() == "tpu"
+        if transpose and not on_tpu:
+            # CPU path: transpose each element block BEFORE assembly
+            # (the TPU path folds the transpose into the scatter ids —
+            # the trailing swapaxes copy is 1.6 GB at 1.5M elements)
             from calibr8_tpu.fem.assembly import jac_is_trailing
 
             J_e = (
@@ -283,7 +301,7 @@ class EllOperator:
         self.ndpn = disc.ndpn
         n = disc.n_nodes
         self.n_nodes = n
-        if jax.default_backend() == "tpu":
+        if on_tpu:
             # assemble DIRECTLY in trailing layout: the (n, K, ndpn,
             # ndpn) form tile-pads 64x in HBM (44 GB at 1M DOF).  Pad
             # the node axis to a 128 multiple so the kernel's block
@@ -292,7 +310,7 @@ class EllOperator:
             # path on every cube mesh).
             self.N_pad = _pad128(n)
             self._blk = _pick_block(self.N_pad)
-            A_T, nbr = assemble_ell_T(J_e, disc)
+            A_T, nbr = assemble_ell_T(J_e, disc, transpose=transpose)
             self.A_T = jnp.pad(
                 A_T, ((0, 0), (0, 0), (0, 0), (0, self.N_pad - n))
             )

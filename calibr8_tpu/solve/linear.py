@@ -136,7 +136,13 @@ def solve_info(
         # hoists it out of the Krylov loop), no per-iteration scatter
         from calibr8_tpu.solve.ellpack import EllOperator
 
-        op = EllOperator(disc, op_e, diag, bc_dofs)
+        # pass the UN-swapped Jacobian + the transpose flag: the TPU
+        # assembly folds the transpose into its scatter ids, so the
+        # only wholesale consumer of the swapped op_e disappears and
+        # XLA can fuse the swapaxes into MG/BGS's per-(i,j) slices
+        # instead of materializing the 1.6 GB trailing copy (the scale
+        # adjoint sat 1.4 GB over the 16 GB HBM)
+        op = EllOperator(disc, J_e, diag, bc_dofs, transpose=transpose)
     else:
 
         def op(v):
