@@ -295,18 +295,28 @@ class Assembler:
 
         return chunked_trailing(kernel)
 
-    def make_adjoint_blocks_kernel(self):
-        """Trailing-layout fused kernel for ALL adjoint element blocks.
+    def make_adjoint_blocks_kernel(self, parts="all"):
+        """Trailing-layout fused kernel for the adjoint element blocks.
 
-        ONE linearization over v = [xi, x_e, xp_e, xi_prev, p] of
-        G = [C; R] yields every block the backward sweep needs
-        (dC/dxi, dC/dx_prev, dC/dxi_prev, dC/dp, dR/dxi, dR/dp, and the
-        condensed transposed operator) with a single primal evaluation
-        and 2 nxi + 2 nde + n_p tangent passes — replacing the
-        reference's five separate FADT seedings (eval_adjoint_jacobian
-        evaluations.cpp:349-520, solve_adjoint_local :528-655,
-        eval_qoi_gradient :758-930) and the previous 8-jacfwd form,
-        which ran element-axis-first (~20x slower tangent passes).
+        ONE linearization over the seed vector of G = [C; R] yields the
+        blocks the backward sweep needs with a single primal evaluation
+        — replacing the reference's five separate FADT seedings
+        (eval_adjoint_jacobian evaluations.cpp:349-520,
+        solve_adjoint_local :528-655, eval_qoi_gradient :758-930) and
+        the previous 8-jacfwd form, which ran element-axis-first (~20x
+        slower tangent passes).
+
+        `parts` selects the seed groups (the 1M-DOF scale adjoint blew
+        HBM holding ALL blocks alive across the Krylov solve — splitting
+        lets Adjoint._step_impl compute only [xi, x_e] seeds before the
+        solve and recompute the rest after it, cutting solve-time
+        liveness from 8 trailing E-arrays to none at +13% tangent
+        seeds):
+          * "all":   seeds [xi, x_e, xp_e, xi_prev, p] -> every block
+          * "solve": seeds [xi, x_e] -> dxi_dx_T, J_total_T
+          * "post":  seeds [xi, xp_e, xi_prev, p] -> dC_dxi_T,
+                     dR_dxi_T, dC_dxprev_T, dC_dxiprev_T, dC_dp_T,
+                     dR_dp_T
 
         Returns f(x_eT (nde,n), xp_eT, xiT (nxi,n), xipT, path (n,),
         gN_T (npe,d,n), detJ (n,), h (n,), parsT (np,n)) -> dict of
@@ -321,22 +331,48 @@ class Assembler:
             geom = (gN, dJ, h)
             n_p = par.shape[0]
 
-            def G(v):
-                xi__ = v[:nxi]
-                xe__ = v[nxi : nxi + nde]
-                xpe__ = v[nxi + nde : nxi + 2 * nde]
-                xip__ = v[nxi + 2 * nde : 2 * nxi + 2 * nde]
-                p__ = v[2 * nxi + 2 * nde :]
-                kin = elem_kinematics(spec, xe__, xpe__, gN)
-                C = model.residual(xi__, xip__, kin, p__, path_)
-                R = elem_res(xe__, xpe__, xi__, geom, p__)
-                return jnp.concatenate([C, R])
+            if parts == "solve":
 
-            v0 = jnp.concatenate([xi_, x_e_, xp_e_, xip_, par])
+                def G(v):
+                    xi__ = v[:nxi]
+                    xe__ = v[nxi:]
+                    kin = elem_kinematics(spec, xe__, xp_e_, gN)
+                    C = model.residual(xi__, xip_, kin, par, path_)
+                    R = elem_res(xe__, xp_e_, xi__, geom, par)
+                    return jnp.concatenate([C, R])
+
+                v0 = jnp.concatenate([xi_, x_e_])
+            elif parts == "post":
+
+                def G(v):
+                    xi__ = v[:nxi]
+                    xpe__ = v[nxi : nxi + nde]
+                    xip__ = v[nxi + nde : 2 * nxi + nde]
+                    p__ = v[2 * nxi + nde :]
+                    kin = elem_kinematics(spec, x_e_, xpe__, gN)
+                    C = model.residual(xi__, xip__, kin, p__, path_)
+                    R = elem_res(x_e_, xpe__, xi__, geom, p__)
+                    return jnp.concatenate([C, R])
+
+                v0 = jnp.concatenate([xi_, xp_e_, xip_, par])
+            else:
+
+                def G(v):
+                    xi__ = v[:nxi]
+                    xe__ = v[nxi : nxi + nde]
+                    xpe__ = v[nxi + nde : nxi + 2 * nde]
+                    xip__ = v[nxi + 2 * nde : 2 * nxi + 2 * nde]
+                    p__ = v[2 * nxi + 2 * nde :]
+                    kin = elem_kinematics(spec, xe__, xpe__, gN)
+                    C = model.residual(xi__, xip__, kin, p__, path_)
+                    R = elem_res(xe__, xpe__, xi__, geom, p__)
+                    return jnp.concatenate([C, R])
+
+                v0 = jnp.concatenate([xi_, x_e_, xp_e_, xip_, par])
+
             _, JG = jax.linearize(G, v0)
-            m = 2 * nxi + 2 * nde + n_p
             return jax.vmap(JG, in_axes=1, out_axes=1)(
-                jnp.eye(m, dtype=v0.dtype)
+                jnp.eye(v0.shape[0], dtype=v0.dtype)
             )
 
         vone = jax.vmap(
@@ -347,6 +383,24 @@ class Assembler:
 
         def kernel(x_eT, xp_eT, xiT, xipT, path, gN_T, detJ, h, parsT):
             JG_T = vone(x_eT, xp_eT, xiT, xipT, path, gN_T, detJ, h, parsT)
+            if parts == "solve":
+                dC_dxi_T = JG_T[:nxi, :nxi]
+                dC_dx_T = JG_T[:nxi, nxi:]
+                dR_dxi_T = JG_T[nxi:, :nxi]
+                dR_dx_T = JG_T[nxi:, nxi:]
+                dxi_dx_T = -gauss_solve_T(dC_dxi_T, dC_dx_T)
+                J_total_T = dR_dx_T + mm_T(dR_dxi_T, dxi_dx_T)
+                return dict(dxi_dx_T=dxi_dx_T, J_total_T=J_total_T)
+            if parts == "post":
+                c0, c1, c2 = nxi, nxi + nde, 2 * nxi + nde
+                return dict(
+                    dC_dxi_T=JG_T[:nxi, :c0],
+                    dC_dxprev_T=JG_T[:nxi, c0:c1],
+                    dC_dxiprev_T=JG_T[:nxi, c1:c2],
+                    dC_dp_T=JG_T[:nxi, c2:],
+                    dR_dxi_T=JG_T[nxi:, :c0],
+                    dR_dp_T=JG_T[nxi:, c2:],
+                )
             c0, c1, c2, c3 = nxi, nxi + nde, nxi + 2 * nde, 2 * nxi + 2 * nde
             dC_dxi_T = JG_T[:nxi, :c0]
             dC_dx_T = JG_T[:nxi, c0:c1]
