@@ -226,15 +226,34 @@ def fine_u_setup(disc, J_e, diag, bc_dofs, op, uslots, omega):
                 * m_eT[j]
             )
 
+        def jt_mask_slice(i, j, s, c):
+            # element-range slice of the lazy masked accessor: the
+            # chunked Galerkin build (galerkin_u) bounds its stage-1
+            # temps to one chunk; slicing BEFORE the multiply keeps
+            # the product fused at chunk size
+            row = jax.lax.dynamic_slice_in_dim(
+                J_e[int(us_np[i]), int(us_np[j])], s, c, 0
+            )
+            mi = jax.lax.dynamic_slice_in_dim(m_eT[i], s, c, 0)
+            mj = jax.lax.dynamic_slice_in_dim(m_eT[j], s, c, 0)
+            return row * mi * mj
+
     else:
 
         def jt_mask(i, j):
             return J_uu[:, i, j] * m_eT[i] * m_eT[j]
 
+        def jt_mask_slice(i, j, s, c):
+            row = jax.lax.dynamic_slice_in_dim(J_uu[:, i, j], s, c, 0)
+            mi = jax.lax.dynamic_slice_in_dim(m_eT[i], s, c, 0)
+            mj = jax.lax.dynamic_slice_in_dim(m_eT[j], s, c, 0)
+            return row * mi * mj
+
     return dict(
         trailing=trailing,
         J_uuT=J_uuT,
         jt_mask=jt_mask,
+        jt_mask_slice=jt_mask_slice,
         J_uu=J_uu,
         op_u=op_u,
         smooth=smooth,
@@ -591,13 +610,12 @@ class MGPrecondFactory:
                 v, pr["elem_parent"], num_segments=pr["n_parent_elems"]
             )
 
-        def galerkin_u(jt, pr):
-            """element blocks (lazy slice accessor jt(i, j) -> (E_c,))
-            -> (nde_u, nde_u, E_parent) as unrolled trailing-layout
+        def _galerkin_block(jt, P, red):
+            """One block of the Galerkin triple product: element blocks
+            via the lazy accessor jt(i, j) -> (C,), transfers P (npe,
+            npe, C) -> (nde_u, nde_u, n_red) as unrolled trailing-layout
             lane FMAs (NOT a rank-5 einsum — XLA materializes those
             with the tiny dims on the tiled axes, 32x HBM padding)."""
-            P = pr["P_nT"]  # (npe, npe, E_c)
-            red = _reduce_child(pr)
             # stage 1: H[l][q][dd][r] = sum_m jt(l d + q, m d + r) P[m, dd]
             H = [
                 [
@@ -629,6 +647,54 @@ class MGPrecondFactory:
                             cols.append(red(acc))
                     rows.append(jnp.stack(cols, 0))
             return jnp.stack(rows, 0)
+
+        from calibr8_tpu.fem.assembly import _elem_chunk_size
+
+        gal_chunk = _elem_chunk_size()
+
+        def galerkin_u(jt, jt_sl, pr, E_ch):
+            """Galerkin coarse blocks, chunked over PARENT elements
+            past the element-chunk threshold: the one-shot stage-1
+            holds npe^2 d^2 = 144 full-length child vectors (0.9 GB at
+            1.5M elements) right when the scale newton sits at the HBM
+            edge.  Chunking needs children GROUPED by parent
+            (group_k); the segment_sum pairing falls back to the
+            one-shot form."""
+            k = pr.get("group_k")
+            if k is None or E_ch <= gal_chunk:
+                return _galerkin_block(jt, pr["P_nT"], _reduce_child(pr))
+            n_par = pr["n_parent_elems"]
+            pch = max(1, gal_chunk // k)
+            nfull, prem = divmod(n_par, pch)
+
+            def red_in_chunk(v, k=k):
+                acc = v[0::k]
+                for j in range(1, k):
+                    acc = acc + v[j::k]
+                return acc
+
+            P = pr["P_nT"]
+            nde_u = npe * d
+            out = jnp.zeros((nde_u, nde_u, n_par), dtype)
+
+            def chunk_at(s_par, csize_par):
+                s_ch = s_par * k
+                c_ch = csize_par * k
+                jt_c = lambda i, j: jt_sl(i, j, s_ch, c_ch)  # noqa: E731
+                P_c = jax.lax.dynamic_slice_in_dim(P, s_ch, c_ch, 2)
+                return _galerkin_block(jt_c, P_c, red_in_chunk)
+
+            def body(c, out):
+                blk = chunk_at(c * pch, pch)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    out, blk, c * pch, 2
+                )
+
+            out = jax.lax.fori_loop(0, nfull, body, out)
+            if prem:
+                blk = chunk_at(nfull * pch, prem)
+                out = out.at[:, :, nfull * pch:].set(blk)
+            return out
 
         def mk_level_u(JT, conn, n_nodes):
             nde_u = npe * d
@@ -688,12 +754,20 @@ class MGPrecondFactory:
         # step and slice their materialized parent blocks)
         L = len(self._pairs)
         jt_l = jt0
+        jt_sl_l = fu["jt_mask_slice"]
+        E_ch_l = disc.n_elem
         J_l = None
         level_ops = []  # (op_l, smooth_l) for levels 1..L-1
         for l in range(L):
             pr = self._pairs[l]
-            J_l = galerkin_u(jt_l, pr)
+            J_l = galerkin_u(jt_l, jt_sl_l, pr, E_ch_l)
             jt_l = lambda i, j, J=J_l: J[i, j]
+            jt_sl_l = (
+                lambda i, j, s, c, J=J_l: jax.lax.dynamic_slice_in_dim(
+                    J[i, j], s, c, 0
+                )
+            )
+            E_ch_l = pr["n_parent_elems"]
             if l < L - 1:
                 level_ops.append(
                     mk_level_u(
