@@ -554,6 +554,160 @@ def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None,
         out["preconditioner"] = "multigrid"
 
 
+def _bench_newton_split(prob, out, dtype_str, iters, hoist):
+    """Scale variant of _bench_newton: assembly and build+solve run as
+    TWO jit programs so their temps never co-reside — the one-program
+    MG newton at 1.1M DOF declares 8.5 GB temps + 3.5 GB generated
+    code and dies loading next to the setup-resident arrays on a
+    16 GB v5e.  The step time is the synced sum of both programs
+    (per-call RTT ~60 ms against multi-second steps)."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from calibr8_tpu.fem.bcs import apply_dbcs_residual
+    from calibr8_tpu.solve import linear as linear_mod
+
+    disc = prob.disc
+    x, x_prev, xi_prev = representative_state(prob)
+    params = prob.params0
+    bc_dofs, bc_vals = prob.dbcs.arrays(1.0)
+    mg = prob.mg_factory
+    mg_hoist = mg.hoist_args() if mg is not None else None
+    lin_cfg = linear_mod.LinearCfg(
+        method="gmres",
+        tol=5e-3 if dtype_str == "f32" else 1e-6,
+        max_iters=800,
+        restart=int(os.environ.get("CALIBR8_BENCH_RESTART", 50)),
+        refine_iters=1,
+    )
+    fn, aux = make_assemble_raw(prob, hoist=hoist)
+
+    def body1(x, x_prev, xi_prev, params, bc_dofs, bc_vals, st, aux):
+        with disc.bind(st):
+            R, J_e, diag, xi, path, nfail = fn(
+                x, x_prev, xi_prev, params, aux
+            )
+            R = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
+        return R, J_e, diag, xi
+
+    def body2(J_e, diag, R, x, bc_dofs, st, mst):
+        mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
+        with disc.bind(st), mg_ctx:
+            dx, relres = linear_mod.solve_info(
+                lin_cfg, J_e, disc, diag, -R, bc_dofs, mg=mg
+            )
+        return x + dx, jnp.linalg.norm(R), relres
+
+    jf1, jf2 = jax.jit(body1), jax.jit(body2)
+    a1 = (x, x_prev, xi_prev, params, bc_dofs, bc_vals, hoist, aux)
+    report_mem(body1, a1, out, tag="_asm")
+    o1 = jf1(*a1)
+    jax.block_until_ready(o1)
+    a2 = (o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist)
+    report_mem(body2, a2, out, tag="_solve")
+
+    def run_once():
+        o1 = jf1(*a1)
+        o2 = jf2(o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist)
+        jax.block_until_ready(o2)
+        return o2
+
+    o2 = run_once()  # warmup/compile both
+    k = max(2, iters // 2)
+    t0 = time.perf_counter()
+    for _ in range(k):
+        o2 = run_once()
+    dt = (time.perf_counter() - t0) / k
+    out["seconds"] = dt
+    out["gdof_per_s"] = disc.n_dofs / dt / 1e9
+    out["solve_relres"] = float(o2[2])
+    out["split_programs"] = 2
+    if mg is not None:
+        out["preconditioner"] = "multigrid"
+
+
+def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
+    """Scale variant of _bench_adjoint: Adjoint.step_solve and
+    step_post as TWO jit programs (see _bench_newton_split — the
+    one-program step peaked 10-17 GB of temps at 1.1M DOF)."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from calibr8_tpu.solve import linear as linear_mod
+    from calibr8_tpu.solve.adjoint import Adjoint
+
+    disc = prob.disc
+    x, x_prev, xi_prev = representative_state(prob)
+    params = prob.params0
+
+    @jax.jit
+    def loc_h(st, x, x_prev, xi_prev, params):
+        with disc.bind(st):
+            return prob.assembler.local_solve(x, x_prev, xi_prev, params)
+
+    loc = loc_h(hoist, x, x_prev, xi_prev, params)
+    lin_cfg = linear_mod.LinearCfg(
+        method="gmres",
+        tol=1e-4 if dtype_str == "f32" else 1e-8,
+        max_iters=1500,
+        restart=int(os.environ.get("CALIBR8_BENCH_RESTART", 50)),
+        refine_iters=0,
+    )
+    adj = Adjoint(prob.assembler, prob.qoi, prob.dbcs, lin_cfg, mg_factory=mg)
+    adj.linear_cfg = lin_cfg
+    bc_dofs, _ = prob.dbcs.arrays(1.0)
+    aux = prob.qoi.setup_step(1, 1.0, 1.0, 2.0)
+    nde = disc.edofs.shape[1]
+    f0 = jnp.zeros((disc.n_elem, nde), disc.dtype)
+    g0 = jnp.zeros((disc.n_elem, prob.assembler.nxi), disc.dtype)
+    mg_hoist = mg.hoist_args() if mg is not None else None
+
+    def body1(x, x_prev, xi, xi_prev, path, params, f, g, st, mst):
+        mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
+        with disc.bind(st), mg_ctx:
+            return adj.step_solve(
+                x, x_prev, xi, xi_prev, path, params, f, g, bc_dofs, aux
+            )
+
+    def body2(x, x_prev, xi, xi_prev, path, params, solved, st):
+        with disc.bind(st):
+            return adj.step_post(
+                x, x_prev, xi, xi_prev, path, params, *solved
+            )
+
+    jf1, jf2 = jax.jit(body1), jax.jit(body2)
+    a1 = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0, hoist,
+          mg_hoist)
+    report_mem(body1, a1, out, tag="_solve")
+    s1 = jf1(*a1)
+    jax.block_until_ready(s1)
+    a2 = (x, x_prev, loc.xi, xi_prev, loc.path, params, s1, hoist)
+    report_mem(body2, a2, out, tag="_post")
+
+    def run_once():
+        s1 = jf1(*a1)
+        res = jf2(x, x_prev, loc.xi, xi_prev, loc.path, params, s1, hoist)
+        jax.block_until_ready(res)
+        return res
+
+    res = run_once()  # warmup/compile both
+    k = max(2, iters // 2)
+    t0 = time.perf_counter()
+    for _ in range(k):
+        res = run_once()
+    dt = (time.perf_counter() - t0) / k
+    out["seconds"] = dt
+    out["gdof_per_s"] = disc.n_dofs / dt / 1e9
+    out["solve_relres"] = float(res.relres)
+    out["split_programs"] = 2
+    if mg is not None:
+        out["preconditioner"] = "multigrid"
+
+
 def _make_adjoint_fn(prob, dtype_str, hoist=None, mg=None):
     import jax
     import jax.numpy as jnp
@@ -891,15 +1045,16 @@ def run_mode(mode, dtype_str, n, model=None):
             out["preconditioner"] = "multigrid"
         _bench_assembly(prob, out, 5, with_roofline=False, hoist=hoist)
         nwt = {}
-        _bench_newton(
-            prob, nwt, dtype_str, 3, refinements=refs, hoist=hoist, sync=True
-        )
+        # split-program step: the one-jit MG newton/adjoint at 1.1M
+        # DOF exceeds the 16 GB HBM (temps + generated code + resident
+        # arrays); assembly|solve and solve|post as separate programs
+        # never co-reside
+        _bench_newton_split(prob, nwt, dtype_str, 3, hoist)
         out["newton_seconds"] = nwt["seconds"]
         out["newton_solve_relres"] = nwt["solve_relres"]
         adjd = {}
-        _bench_adjoint(
-            prob, adjd, dtype_str, 3, hoist=hoist, mg=prob.mg_factory,
-            sync=True,
+        _bench_adjoint_split(
+            prob, adjd, dtype_str, 3, hoist, prob.mg_factory
         )
         out["adjoint_seconds"] = adjd["seconds"]
         out["adjoint_dof_per_s_per_chip"] = disc.n_dofs / adjd["seconds"]

@@ -130,6 +130,24 @@ class Adjoint:
     def _step_impl(
         self, x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
     ):
+        z, relres, B, g_modT, dJ_dp = self.step_solve(
+            x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
+        )
+        return self.step_post(
+            x, x_prev, xi, xi_prev, path, params_all,
+            z, relres, B, g_modT, dJ_dp,
+        )
+
+    def step_solve(
+        self, x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
+    ):
+        """Pre-solve blocks + RHS + the transposed Krylov solve.
+        Returns (z, relres, B, g_modT, dJ_dp); B is None in two-pass
+        mode (the post-solve blocks are recomputed by step_post — at
+        the 1M-DOF scale holding all 8 trailing E-blocks across the
+        solve blew the 16 GB HBM).  step_solve/step_post are separate
+        entry points so the scale bench can run them as TWO jit
+        programs whose temps never co-reside."""
         a = self.assembler
         disc = a.disc
         # Past the element-chunk threshold, split the blocks into a
@@ -169,13 +187,20 @@ class Adjoint:
             transpose=True,
             mg=getattr(self, "mg_factory", None),
         )
+        return z, relres, (None if two_pass else B), g_modT, dJ_dp
 
-        # local adjoint and history updates (two-pass: recompute the
-        # post-solve blocks now that the solve's liveness is over; the
-        # 0*z anchor forces the scheduler to actually order this pass
-        # AFTER the solve — XLA cannot fold 0*z because z may be
-        # non-finite, and pass B is otherwise data-independent of it)
-        if two_pass:
+    def step_post(
+        self, x, x_prev, xi, xi_prev, path, params_all,
+        z, relres, B, g_modT, dJ_dp,
+    ):
+        """Post-solve half: local adjoint phi, f/g history updates and
+        the parameter-gradient contribution.  B is None in two-pass
+        mode — the post blocks are recomputed here, anchored on the
+        solve output so XLA cannot hoist the recompute above the solve
+        (0*z cannot fold because z may be non-finite)."""
+        a = self.assembler
+        disc = a.disc
+        if B is None:
             anchor = (0.0 * z[0]).astype(x.dtype)
             B = self._blocks(
                 x + anchor, x_prev, xi, xi_prev, path, params_all,

@@ -262,16 +262,26 @@ def _chebyshev(matvec, dinv_apply, lmax, degree: int, ratio: float):
     sigma = theta / delta
 
     def smooth(b):
-        rho = 1.0 / sigma
         x = dinv_apply(b) / theta
         r = b - matvec(x)
-        d = x
-        for _ in range(degree - 1):
+        rho0 = jnp.asarray(1.0 / sigma, x.dtype)
+
+        # fori_loop, NOT a Python unroll: the unrolled recurrence
+        # instantiates `matvec` degree-1 times PER SMOOTHER SITE — with
+        # 2 sites/level over a 4-level recursive cycle that multiplied
+        # the level-op code ~12x (the 1M-DOF scale step carries 3.5 GB
+        # of generated code next to 16 GB HBM)
+        def body(_, c):
+            x, r, d, rho = c
             rho_new = 1.0 / (2.0 * sigma - rho)
             d = (rho_new * rho) * d + (2.0 * rho_new / delta) * dinv_apply(r)
             x = x + d
             r = r - matvec(d)
-            rho = rho_new
+            return (x, r, d, rho_new)
+
+        x, _, _, _ = jax.lax.fori_loop(
+            0, degree - 1, body, (x, r, x, rho0)
+        )
         return x
 
     return smooth

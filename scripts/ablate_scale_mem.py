@@ -19,7 +19,7 @@ os.environ.setdefault("CALIBR8_ELEM_CHUNK", "65536")
 os.environ.setdefault("CALIBR8_BENCH_RESTART", "40")
 
 
-def report(tag, comp):
+def report(tag, comp, args=None):
     ma = comp.memory_analysis()
     print(json.dumps({
         "tag": tag,
@@ -27,6 +27,15 @@ def report(tag, comp):
         "arg_gb": round(ma.argument_size_in_bytes / 1e9, 3),
         "code_gb": round(ma.generated_code_size_in_bytes / 1e9, 3),
     }), flush=True)
+    if args is not None and os.environ.get("CALIBR8_ABLATE_RUN", "1") == "1":
+        # EXECUTE too: the fault localizer — the first stage that
+        # faults the chip names the culprit (a fault wedges the whole
+        # process, so stage order in the log is the bisect)
+        import jax
+
+        out = comp(*args)
+        jax.block_until_ready(out)
+        print(json.dumps({"tag": tag, "ran": True}), flush=True)
 
 
 def main():
@@ -47,7 +56,9 @@ def main():
     # (1) one-level newton (mg=None)
     body, consts = bench._newton_fn(prob, "f32", None, hoist=hoist)
     args = (x, x_prev, xi_prev, params, bc_dofs, bc_vals) + consts
-    report("newton_onelevel", jax.jit(body).lower(*args).compile())
+    report(
+        "newton_onelevel", jax.jit(body).lower(*args).compile(), args
+    )
 
     # (2) MG make + one cycle apply, from a precomputed J_e
     mg = prob.mg_factory
@@ -75,7 +86,9 @@ def main():
 
     r0 = jnp.asarray(R)
     margs = (J_e, diag, r0, hoist, mg_hoist)
-    report("mg_make_apply", jax.jit(mg_only).lower(*margs).compile())
+    report(
+        "mg_make_apply", jax.jit(mg_only).lower(*margs).compile(), margs
+    )
 
 
 if __name__ == "__main__":

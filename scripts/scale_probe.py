@@ -65,14 +65,10 @@ def main():
                 prob, out, 5, with_roofline=False, hoist=hoist
             )
         elif phase == "newton":
-            bench._bench_newton(
-                prob, out, dtype_str, 3, refinements=refs, hoist=hoist,
-                sync=True,
-            )
+            bench._bench_newton_split(prob, out, dtype_str, 3, hoist)
         elif phase == "adjoint":
-            bench._bench_adjoint(
-                prob, out, dtype_str, 3, hoist=hoist, mg=prob.mg_factory,
-                sync=True,
+            bench._bench_adjoint_split(
+                prob, out, dtype_str, 3, hoist, prob.mg_factory
             )
         else:
             raise SystemExit(f"unknown phase {phase}")
