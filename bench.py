@@ -372,7 +372,7 @@ def cost_analysis(fn, args):
         return 0.0, 0.0
 
 
-def report_mem(fn, args, out, tag=""):
+def report_mem(fn, args, out, tag="", jitted=None):
     """AOT HBM accounting (env CALIBR8_BENCH_MEMSTATS=1): compile the
     jitted fn and record the XLA-reserved temp/argument/output bytes
     BEFORE the first execution, so a run that then OOMs or faults the
@@ -384,7 +384,11 @@ def report_mem(fn, args, out, tag=""):
     if os.environ.get("CALIBR8_BENCH_MEMSTATS", "0") != "1":
         return
     try:
-        ma = jax.jit(fn).lower(*args).compile().memory_analysis()
+        # compile through the caller's jitted fn when given (donation
+        # changes the executable — a separate jax.jit(fn) here would
+        # compile AND load a second copy of a GB-scale program)
+        jf = jax.jit(fn) if jitted is None else jitted
+        ma = jf.lower(*args).compile().memory_analysis()
         rec = {}
         for k in (
             "temp_size_in_bytes",
@@ -600,21 +604,30 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
             )
         return x + dx, jnp.linalg.norm(R), relres
 
-    jf1, jf2 = jax.jit(body1), jax.jit(body2)
+    # donate J_e/diag/R into the solve program: each run_once builds
+    # them fresh, and aliasing ~1.5 GB of element blocks into the
+    # solve's workspace is the margin between loading and UNAVAILABLE
+    # at 1.1M DOF on a 16 GB chip
+    jf1 = jax.jit(body1)
+    jf2 = jax.jit(body2, donate_argnums=(0, 1, 2))
     a1 = (x, x_prev, xi_prev, params, bc_dofs, bc_vals, hoist, aux)
-    report_mem(body1, a1, out, tag="_asm")
+    report_mem(body1, a1, out, tag="_asm", jitted=jf1)
     o1 = jf1(*a1)
     jax.block_until_ready(o1)
     a2 = (o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist)
-    report_mem(body2, a2, out, tag="_solve")
+    report_mem(body2, a2, out, tag="_solve", jitted=jf2)
+    o2 = jf2(*a2)  # warmup/compile the solve program (donates o1's blocks)
+    jax.block_until_ready(o2)
+    del a2, o1, o2  # free every warmup buffer before the timed runs
 
     def run_once():
-        o1 = jf1(*a1)
-        o2 = jf2(o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist)
+        R, J_e, diag, xi = jf1(*a1)
+        del xi  # elem-state output: not a solve input, drop before jf2
+        o2 = jf2(J_e, diag, R, x, bc_dofs, hoist, mg_hoist)
         jax.block_until_ready(o2)
         return o2
 
-    o2 = run_once()  # warmup/compile both
+    o2 = run_once()
     k = max(2, iters // 2)
     t0 = time.perf_counter()
     for _ in range(k):
@@ -679,14 +692,21 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
                 x, x_prev, xi, xi_prev, path, params, *solved
             )
 
-    jf1, jf2 = jax.jit(body1), jax.jit(body2)
+    # donate the solved tuple (z, g_modT, ... — element-sized) into
+    # the post program: each run_once rebuilds it, and the alias is
+    # HBM margin at 1.1M DOF (see _bench_newton_split)
+    jf1 = jax.jit(body1)
+    jf2 = jax.jit(body2, donate_argnums=(6,))
     a1 = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0, hoist,
           mg_hoist)
-    report_mem(body1, a1, out, tag="_solve")
+    report_mem(body1, a1, out, tag="_solve", jitted=jf1)
     s1 = jf1(*a1)
     jax.block_until_ready(s1)
     a2 = (x, x_prev, loc.xi, xi_prev, loc.path, params, s1, hoist)
-    report_mem(body2, a2, out, tag="_post")
+    report_mem(body2, a2, out, tag="_post", jitted=jf2)
+    res = jf2(*a2)  # warmup/compile the post program (donates s1)
+    jax.block_until_ready(res)
+    del a2, s1, res  # free every warmup buffer before the timed runs
 
     def run_once():
         s1 = jf1(*a1)
@@ -694,7 +714,7 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
         jax.block_until_ready(res)
         return res
 
-    res = run_once()  # warmup/compile both
+    res = run_once()
     k = max(2, iters // 2)
     t0 = time.perf_counter()
     for _ in range(k):
