@@ -40,9 +40,20 @@ def build_ell_maps(disc):
     cached = getattr(disc, "_ell_maps", None)
     if cached is not None:
         return cached
-    conn = np.asarray(disc.conn)
+    maps = ell_maps_from_conn(np.asarray(disc.conn), disc.n_nodes)
+    disc._ell_maps = maps
+    return maps
+
+
+def ell_maps_from_conn(conn, n_nodes):
+    """Disc-free ELL maps from a raw connectivity — the multigrid
+    levels assemble their Galerkin coarse operators into the same
+    node-block ELL form (one Pallas custom call per level matvec; the
+    unrolled EBE level applies compiled to ~0.5 GB of TPU code PER
+    V-cycle inline site at 1.5M elements, tripping the ~2 GB
+    executable-load ceiling on the tunneled chip)."""
+    conn = np.asarray(conn)
     n_e, npe = conn.shape
-    n_nodes = disc.n_nodes
 
     # unique (row node, col node) pairs over all element blocks
     i = np.repeat(conn, npe, axis=1).reshape(-1)  # (n_e*npe*npe,)
@@ -84,12 +95,10 @@ def build_ell_maps(disc):
     # by the scan-harness benches, which trace the same solve twice in
     # one process).  Consumers pass these to jnp ops, which stage
     # per-trace constants; Disc.bind substitutes hoisted tracers.
-    maps = dict(
+    return dict(
         nbr=nbr, ell_idx=ell_idx, ell_idx_T=ell_idx_T,
         ell_ids_T=ell_ids_T, ell_ids_T_swap=ell_ids_T_swap, K=K,
     )
-    disc._ell_maps = maps
-    return maps
 
 
 def assemble_ell(J_e, disc):
@@ -192,6 +201,110 @@ def assemble_ell_T(J_e, disc, transpose=False):
     return A_T, maps["nbr"]
 
 
+def assemble_ell_T_blocks(JT, ids, K, n_nodes, npe, m):
+    """Generic trailing-layout ELL assembly for one multigrid level:
+    element blocks (npe*m, npe*m, E) + flat (a, b, e)-ordered slot ids
+    (from ell_maps_from_conn, host or hoisted) -> A_T (K, m, m, n).
+    Same scatter structure as assemble_ell_T, parameterized by the
+    node-block size m (u chain: m = dim; pressure chain: m = 1)."""
+    E = JT.shape[-1]
+
+    def scatter_block(A2, Jc, idc):
+        C = Jc.shape[-1]
+        Vc = (
+            Jc.reshape(npe, m, npe, m, C)
+            .transpose(1, 3, 0, 2, 4)
+            .reshape(m * m, npe * npe * C)
+        )
+        return A2.at[:, idc.reshape(-1)].add(Vc)
+
+    A2 = jnp.zeros((m * m, K * n_nodes), JT.dtype)
+    from calibr8_tpu.fem.assembly import _elem_chunk_size
+
+    chunk = _elem_chunk_size()
+    ids2 = jnp.reshape(ids, (npe * npe, E))
+    if E <= chunk:
+        A2 = scatter_block(A2, JT, ids2)
+    else:
+        nfull = E // chunk
+
+        def body(c, A2):
+            s = c * chunk
+            Jc = jax.lax.dynamic_slice_in_dim(JT, s, chunk, axis=2)
+            idc = jax.lax.dynamic_slice_in_dim(ids2, s, chunk, axis=1)
+            return scatter_block(A2, Jc, idc)
+
+        A2 = jax.lax.fori_loop(0, nfull, body, A2)
+        if E % chunk:
+            A2 = scatter_block(
+                A2, JT[:, :, nfull * chunk:], ids2[:, nfull * chunk:]
+            )
+    return A2.reshape(m, m, K, n_nodes).transpose(2, 0, 1, 3)
+
+
+class LevelEllOperator:
+    """Assembled node-block ELL apply for one multigrid level.
+
+    No Dirichlet handling: level operators are Galerkin products of
+    already-masked fine blocks.  The point on TPU is CODE size as much
+    as speed — each unrolled EBE level matvec compiled to hundreds of
+    fused element-length vector ops, instantiated at every smoother /
+    residual site of every V-cycle inline copy (~0.5 GB of generated
+    code per cycle at 1.5M elements, tripping the ~2 GB executable
+    load ceiling); the Pallas apply is ONE custom call."""
+
+    def __init__(self, JT, nbr, ids, K, n_nodes, m):
+        npe = JT.shape[0] // m
+        A_T = assemble_ell_T_blocks(JT, ids, K, n_nodes, npe, m)
+        self.nbr = nbr
+        self.K = K
+        self.n_nodes = n_nodes
+        self.m = m
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = (
+            on_tpu
+            and A_T.dtype != jnp.float64
+            and os.environ.get("CALIBR8_ELL_PALLAS", "1") != "0"
+        )
+        if use_pallas:
+            self.N_pad = _pad128(n_nodes)
+            self._blk = _pick_block(self.N_pad)
+            self.A_T = jnp.pad(
+                A_T, ((0, 0), (0, 0), (0, 0), (0, self.N_pad - n_nodes))
+            )
+        else:
+            self.N_pad = None
+            self._blk = None
+            self.A_T = A_T
+
+    def __call__(self, v):
+        X = v.reshape(self.n_nodes, self.m)
+        Xp = jnp.concatenate(
+            [X, jnp.zeros((1, self.m), X.dtype)], axis=0
+        )
+        G = Xp[self.nbr]  # (n, K, m)
+        G_T = jnp.moveaxis(G, 0, -1)  # (K, m, n)
+        if self._blk is not None:
+            fwd_call, bwd_call = _kernel_pair(
+                self.K, self.m, self.N_pad, G.dtype, self._blk
+            )
+            G_T = jnp.pad(
+                G_T, ((0, 0), (0, 0), (0, self.N_pad - self.n_nodes))
+            )
+            from jax import custom_derivatives as _cd
+
+            Y_T = _cd.linear_call(
+                lambda A_T, G_T: fwd_call(A_T, G_T),
+                lambda A_T, ct: bwd_call(A_T, ct),
+                self.A_T,
+                G_T,
+            )
+            Y = Y_T[:, : self.n_nodes]
+        else:
+            Y = jnp.einsum("sijn,sjn->in", self.A_T, G_T)
+        return Y.T.reshape(-1)
+
+
 # -- the scatter-free matvec ---------------------------------------------
 
 
@@ -279,6 +392,19 @@ def _make_kernel(K, ndpn, N_pad, dtype, block_n, transpose=False):
 _KCACHE = {}
 
 
+def _kernel_pair(K, m, N_pad, dtype, blk):
+    """(forward, transpose) Pallas matvec kernels, cached by shape."""
+    key = (K, m, N_pad, dtype, blk)
+    calls = _KCACHE.get(key)
+    if calls is None:
+        calls = (
+            _make_kernel(K, m, N_pad, dtype, blk),
+            _make_kernel(K, m, N_pad, dtype, blk, transpose=True),
+        )
+        _KCACHE[key] = calls
+    return calls
+
+
 class EllOperator:
     """y = A x with Dirichlet rows diag * x (built once per Jacobian)."""
 
@@ -344,24 +470,9 @@ class EllOperator:
         )
         G = Xp[self.nbr]  # (n_nodes, K, ndpn)
         if self._blk is not None:
-            key = (self.K, self.ndpn, self.N_pad, G.dtype, self._blk)
-            calls = _KCACHE.get(key)
-            if calls is None:
-                calls = (
-                    _make_kernel(
-                        self.K, self.ndpn, self.N_pad, G.dtype, self._blk
-                    ),
-                    _make_kernel(
-                        self.K,
-                        self.ndpn,
-                        self.N_pad,
-                        G.dtype,
-                        self._blk,
-                        transpose=True,
-                    ),
-                )
-                _KCACHE[key] = calls
-            fwd_call, bwd_call = calls
+            fwd_call, bwd_call = _kernel_pair(
+                self.K, self.ndpn, self.N_pad, G.dtype, self._blk
+            )
             # linear_call provides the transpose rule
             # lax.custom_linear_solve (jax gmres) requires at trace time
             from jax import custom_derivatives as _cd

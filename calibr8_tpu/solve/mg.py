@@ -105,6 +105,15 @@ def composite_parents(refine_chain):
     return idx, w
 
 
+def _level_ell_enabled():
+    """Level matvecs through the assembled node-block ELL (Pallas on
+    TPU, einsum elsewhere) instead of unrolled EBE lane FMAs.  Default
+    on; CALIBR8_MG_LEVEL_ELL=0 restores the EBE form (A/B, bisect)."""
+    import os
+
+    return os.environ.get("CALIBR8_MG_LEVEL_ELL", "1") != "0"
+
+
 def fine_u_setup(disc, J_e, diag, bc_dofs, op, uslots, omega):
     """Fine-level u-block pieces shared by the geometric (this module)
     and aggregation (solve/amg.py) multigrid preconditioners: u-block
@@ -463,7 +472,10 @@ class MGPrecondFactory:
             self._build_pair_levels(disc, refine_chain, base_mesh)
 
     # -- constant hoisting (axon remote-compile 413 at 1M+ DOF) ----------
-    _PAIR_HOIST = ("P_nT", "elem_parent", "pa", "pb", "parent_conn")
+    _PAIR_HOIST = (
+        "P_nT", "elem_parent", "pa", "pb", "parent_conn",
+        "ell_nbr", "ell_ids",
+    )
 
     def hoist_args(self):
         """Big static transfer arrays as a pytree to pass through jit
@@ -543,6 +555,16 @@ class MGPrecondFactory:
             grouped = len(elem_parent) == n_pe * k and np.array_equal(
                 elem_parent, np.repeat(np.arange(n_pe), k)
             )
+            # node-pair ELL maps of the PARENT mesh: the level matvecs
+            # (u and p chains share them) apply through the assembled
+            # ELL Pallas kernel — one custom call per matvec instead of
+            # the unrolled EBE FMA forest (hundreds of fused
+            # element-length ops per instantiation; ~0.5 GB of TPU code
+            # per V-cycle inline site at 1.5M elements, over the ~2 GB
+            # executable-load ceiling)
+            from calibr8_tpu.solve.ellpack import ell_maps_from_conn
+
+            pmaps = ell_maps_from_conn(parent_conn, parent_mesh.n_nodes)
             pairs.append(
                 dict(
                     P_nT=jnp.asarray(
@@ -555,6 +577,9 @@ class MGPrecondFactory:
                     parent_conn=jnp.asarray(parent_conn, jnp.int32),
                     n_parent_nodes=parent_mesh.n_nodes,
                     n_parent_elems=parent_conn.shape[0],
+                    ell_nbr=jnp.asarray(pmaps["nbr"], jnp.int32),
+                    ell_ids=jnp.asarray(pmaps["ell_ids_T"], jnp.int32),
+                    ell_K=pmaps["K"],
                 )
             )
         self._pairs = pairs
@@ -696,24 +721,43 @@ class MGPrecondFactory:
                 out = out.at[:, :, nfull * pch:].set(blk)
             return out
 
-        def mk_level_u(JT, conn, n_nodes):
+        def mk_level_u(JT, pr):
+            conn = pr["parent_conn"]
+            n_nodes = pr["n_parent_nodes"]
             nde_u = npe * d
 
-            def op_l(v):
-                V = v.reshape(n_nodes, d)
-                v_eT = V[conn].reshape(-1, nde_u).T
-                rows = []
-                for i in range(nde_u):
-                    acc = JT[i, 0] * v_eT[0]
-                    for j in range(1, nde_u):
-                        acc = acc + JT[i, j] * v_eT[j]
-                    rows.append(acc)
-                Y = jax.ops.segment_sum(
-                    jnp.stack(rows, 0).T.reshape(-1, d),
-                    conn.reshape(-1),
-                    num_segments=n_nodes,
+            if _level_ell_enabled():
+                # assembled node-block ELL apply: ONE Pallas custom
+                # call per matvec.  The unrolled EBE form below
+                # compiles to ~150 fused element-length vector ops,
+                # and a V-cycle instantiates a level matvec at every
+                # smoother/residual site of every Krylov inline copy
+                # (~0.5 GB of TPU code per cycle at 1.5M elements —
+                # over the ~2 GB executable-load ceiling); it also
+                # pays the element scatter every apply.
+                from calibr8_tpu.solve.ellpack import LevelEllOperator
+
+                op_l = LevelEllOperator(
+                    JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
+                    n_nodes, d,
                 )
-                return Y.reshape(-1)
+            else:
+
+                def op_l(v):
+                    V = v.reshape(n_nodes, d)
+                    v_eT = V[conn].reshape(-1, nde_u).T
+                    rows = []
+                    for i in range(nde_u):
+                        acc = JT[i, 0] * v_eT[0]
+                        for j in range(1, nde_u):
+                            acc = acc + JT[i, j] * v_eT[j]
+                        rows.append(acc)
+                    Y = jax.ops.segment_sum(
+                        jnp.stack(rows, 0).T.reshape(-1, d),
+                        conn.reshape(-1),
+                        num_segments=n_nodes,
+                    )
+                    return Y.reshape(-1)
 
             blocks = jnp.zeros((n_nodes, d, d), JT.dtype)
             for l in range(npe):
@@ -769,11 +813,7 @@ class MGPrecondFactory:
             )
             E_ch_l = pr["n_parent_elems"]
             if l < L - 1:
-                level_ops.append(
-                    mk_level_u(
-                        J_l, pr["parent_conn"], pr["n_parent_nodes"]
-                    )
-                )
+                level_ops.append(mk_level_u(J_l, pr))
 
         # coarsest (base mesh): dense from the EBE blocks
         pr_last = self._pairs[-1]
@@ -888,20 +928,33 @@ class MGPrecondFactory:
                 rows.append(jnp.stack(cols, 0))
             return jnp.stack(rows, 0)
 
-        def mk_level_p(JT, conn, n_nodes):
-            def op_l(v):
-                V = v[conn].T  # (npe, E)
-                rows = []
-                for i in range(npe):
-                    acc = JT[i, 0] * V[0]
-                    for j in range(1, npe):
-                        acc = acc + JT[i, j] * V[j]
-                    rows.append(acc)
-                return jax.ops.segment_sum(
-                    jnp.stack(rows, 0).T.reshape(-1),
-                    conn.reshape(-1),
-                    num_segments=n_nodes,
+        def mk_level_p(JT, pr):
+            conn = pr["parent_conn"]
+            n_nodes = pr["n_parent_nodes"]
+
+            if _level_ell_enabled():
+                # same node-pair maps as the u chain, scalar blocks
+                from calibr8_tpu.solve.ellpack import LevelEllOperator
+
+                op_l = LevelEllOperator(
+                    JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
+                    n_nodes, 1,
                 )
+            else:
+
+                def op_l(v):
+                    V = v[conn].T  # (npe, E)
+                    rows = []
+                    for i in range(npe):
+                        acc = JT[i, 0] * V[0]
+                        for j in range(1, npe):
+                            acc = acc + JT[i, j] * V[j]
+                        rows.append(acc)
+                    return jax.ops.segment_sum(
+                        jnp.stack(rows, 0).T.reshape(-1),
+                        conn.reshape(-1),
+                        num_segments=n_nodes,
+                    )
 
             dgv = jnp.zeros(n_nodes, JT.dtype)
             for l in range(npe):
@@ -923,11 +976,7 @@ class MGPrecondFactory:
             Jp_l = galerkin_p(jp_l, pr)
             jp_l = lambda i, j, J=Jp_l: J[i, j]
             if l < L - 1:
-                p_level_ops.append(
-                    mk_level_p(
-                        Jp_l, pr["parent_conn"], pr["n_parent_nodes"]
-                    )
-                )
+                p_level_ops.append(mk_level_p(Jp_l, pr))
         flat_p = (
             conn_b[:, :, None] * n_b + conn_b[:, None, :]
         ).reshape(-1)
@@ -942,18 +991,39 @@ class MGPrecondFactory:
 
         conn = disc.conn
 
-        def op_p(v):
-            V = v[conn].T
-            rows = []
-            for i in range(npe):
-                acc = J_pp[i, 0] * V[0]
-                for j in range(1, npe):
-                    acc = acc + J_pp[i, j] * V[j]
-                rows.append(acc)
-            out = disc.scatter_rows(
-                jnp.stack(rows, 0).T.reshape(-1, 1)
-            ).reshape(-1)
-            return jnp.where(bc_p, diag_p * v, out)
+        if _level_ell_enabled():
+            # fine-level scalar p apply through the assembled ELL
+            # (reuses the Disc's node-pair maps, hoisted via
+            # Disc.bind): the unrolled EBE form below is npe^2 fused
+            # element-length ops over the FINEST mesh, instantiated at
+            # each of the p cycle's smoother/residual sites
+            from calibr8_tpu.solve.ellpack import (
+                LevelEllOperator, build_ell_maps,
+            )
+
+            maps_f = build_ell_maps(disc)
+            p_ell = LevelEllOperator(
+                J_pp, maps_f["nbr"], maps_f["ell_ids_T"], maps_f["K"],
+                disc.n_nodes, 1,
+            )
+
+            def op_p(v):
+                return jnp.where(bc_p, diag_p * v, p_ell(v))
+
+        else:
+
+            def op_p(v):
+                V = v[conn].T
+                rows = []
+                for i in range(npe):
+                    acc = J_pp[i, 0] * V[0]
+                    for j in range(1, npe):
+                        acc = acc + J_pp[i, j] * V[j]
+                    rows.append(acc)
+                out = disc.scatter_rows(
+                    jnp.stack(rows, 0).T.reshape(-1, 1)
+                ).reshape(-1)
+                return jnp.where(bc_p, diag_p * v, out)
 
         app = jnp.where(jnp.abs(diag_p) > 1e-300, diag_p, 1.0)
 
