@@ -592,6 +592,29 @@ class MGPrecondFactory:
         h-dependent — measured on the AMG path)."""
         from calibr8_tpu.solve.amg import _chebyshev, _power_lmax
 
+        # code-size attribution knobs (compile-only ablations against
+        # the chip's ~2 GB executable-load ceiling;
+        # scripts/ablate_code_size.py): each disables one cycle
+        # ingredient.  NEVER set in production runs.
+        import os as _os
+
+        _ablate = _os.environ.get("CALIBR8_MG_ABLATE", "")
+
+        def _mk_cheb(op_l, dinv, lmax):
+            if "nosmooth" in _ablate:
+                return dinv
+            return _chebyshev(op_l, dinv, lmax, cheb_deg, cheb_ratio)
+
+        def _mk_lmax(op_l, dinv, n, dtype):
+            if "nolmax" in _ablate:
+                return jnp.asarray(1.0, dtype)
+            return _power_lmax(op_l, dinv, n, dtype)
+
+        def _mk_coarse(A):
+            if "nocoarse" in _ablate:
+                return lambda r: r
+            return _coarse_dense_solver(A)
+
         disc = self.disc
         d = self.d
         spec = disc.spec
@@ -789,8 +812,8 @@ class MGPrecondFactory:
                     "nij,nj->ni", Binv, r.reshape(n_nodes, d)
                 ).reshape(-1)
 
-            lmax = _power_lmax(op_l, dinv, n_nodes * d, JT.dtype)
-            smooth = _chebyshev(op_l, dinv, lmax, cheb_deg, cheb_ratio)
+            lmax = _mk_lmax(op_l, dinv, n_nodes * d, JT.dtype)
+            smooth = _mk_cheb(op_l, dinv, lmax)
             return op_l, smooth
 
         # build the u chain: Galerkin down the pairs (level 0 through
@@ -833,7 +856,7 @@ class MGPrecondFactory:
         ).reshape(n_b * d, n_b * d)
         dgb = jnp.diagonal(A_b)
         A_b = A_b + jnp.diag(jnp.where(jnp.abs(dgb) < 1e-12, 1.0, 0.0))
-        coarse_solve = _coarse_dense_solver(A_b)
+        coarse_solve = _mk_coarse(A_b)
 
         # fine-level Chebyshev (matches the level smoothers)
         Bu_inv = fu["Bu_inv"]
@@ -843,8 +866,8 @@ class MGPrecondFactory:
                 "nij,nj->ni", Bu_inv, r.reshape(disc.n_nodes, d)
             ).reshape(-1)
 
-        lmax_f = _power_lmax(op_u, fine_dinv, disc.n_dofs_u, dtype)
-        fine_smooth = _chebyshev(op_u, fine_dinv, lmax_f, cheb_deg, cheb_ratio)
+        lmax_f = _mk_lmax(op_u, fine_dinv, disc.n_dofs_u, dtype)
+        fine_smooth = _mk_cheb(op_u, fine_dinv, lmax_f)
 
         def restrict_pair(pr, r):
             R = 0.5 * r.reshape(-1, d)
@@ -964,8 +987,8 @@ class MGPrecondFactory:
             def dinv(r):
                 return r / dgv
 
-            lmax = _power_lmax(op_l, dinv, n_nodes, JT.dtype)
-            smooth = _chebyshev(op_l, dinv, lmax, cheb_deg, cheb_ratio)
+            lmax = _mk_lmax(op_l, dinv, n_nodes, JT.dtype)
+            smooth = _mk_cheb(op_l, dinv, lmax)
             return op_l, smooth
 
         jp_l = jp0
@@ -987,7 +1010,7 @@ class MGPrecondFactory:
         ).reshape(n_b, n_b)
         dgp = jnp.diagonal(A_bp)
         A_bp = A_bp + jnp.diag(jnp.where(jnp.abs(dgp) < 1e-12, 1.0, 0.0))
-        p_coarse_solve = _coarse_dense_solver(A_bp)
+        p_coarse_solve = _mk_coarse(A_bp)
 
         conn = disc.conn
 
@@ -1030,10 +1053,8 @@ class MGPrecondFactory:
         def p_fine_dinv(r):
             return r / app
 
-        lmax_p = _power_lmax(op_p, p_fine_dinv, disc.n_dofs - n_u, dtype)
-        p_fine_smooth = _chebyshev(
-            op_p, p_fine_dinv, lmax_p, cheb_deg, cheb_ratio
-        )
+        lmax_p = _mk_lmax(op_p, p_fine_dinv, disc.n_dofs - n_u, dtype)
+        p_fine_smooth = _mk_cheb(op_p, p_fine_dinv, lmax_p)
 
         def p_restrict_pair(pr, r):
             out = jnp.zeros(pr["n_parent_nodes"], r.dtype)
@@ -1060,6 +1081,9 @@ class MGPrecondFactory:
             z = z + p_prolong_pair(self._pairs[0], ec) * mask_p
             r3 = r - op_p(z)
             return z + p_fine_smooth(r3)
+
+        if "nop" in _ablate:
+            p_vcycle = p_fine_dinv
 
         # block GS over (u, p) with exact coupling (solve/amg.py M)
         n_p = disc.n_dofs - n_u

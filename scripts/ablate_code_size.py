@@ -100,6 +100,17 @@ def main():
         return f
 
     a2 = (J_e, diag, R, x, bc_dofs, hoist, mg_hoist)
+    if "cycle" in probes:
+        # cycle-composition attribution: make+1apply under each
+        # CALIBR8_MG_ABLATE knob (knobs are read at trace time inside
+        # _make_recursive, so setting the env between lowers works)
+        margs = (J_e, diag, R, hoist, mg_hoist)
+        for knob in ("", "nop", "nosmooth", "nocoarse", "nolmax",
+                     "nop nosmooth nocoarse nolmax"):
+            os.environ["CALIBR8_MG_ABLATE"] = knob
+            report(f"make1[{knob or 'base'}]",
+                   jax.jit(mg_applies(1)).lower(*margs))
+        os.environ["CALIBR8_MG_ABLATE"] = ""
     if "onelevel" in probes:
         # Krylov loop code WITHOUT the V-cycle (block-GS precond)
         report("solve_onelevel_r50",
