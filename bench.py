@@ -679,7 +679,13 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     g0 = jnp.zeros((disc.n_elem, prob.assembler.nxi), disc.dtype)
     mg_hoist = mg.hoist_args() if mg is not None else None
 
-    def body1(x, x_prev, xi, xi_prev, path, params, f, g, st, mst):
+    def body1(x, x_prev, xi, xi_prev, path, params, f, g, bc_dofs, st,
+              mst):
+        # bc_dofs as an ARGUMENT, not a closure: the closed-over numpy
+        # bc set constant-folds through the element Dirichlet masks
+        # into (nde_u, E)-sized literals, one copy PER V-cycle inline
+        # site (75.5 MB x3 in the dissected 1.1M-DOF adjoint
+        # executable) — against a ~2 GB executable-load ceiling
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
             return adj.step_solve(
@@ -697,8 +703,8 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     # HBM margin at 1.1M DOF (see _bench_newton_split)
     jf1 = jax.jit(body1)
     jf2 = jax.jit(body2, donate_argnums=(6,))
-    a1 = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0, hoist,
-          mg_hoist)
+    a1 = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0,
+          jnp.asarray(bc_dofs), hoist, mg_hoist)
     report_mem(body1, a1, out, tag="_solve", jitted=jf1)
     s1 = jf1(*a1)
     jax.block_until_ready(s1)
