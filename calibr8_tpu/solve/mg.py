@@ -632,6 +632,13 @@ class MGPrecondFactory:
         jt0 = fu["jt_mask"]
         cheb_deg = getattr(self, "cheb_degree", 6)
         cheb_ratio = getattr(self, "cheb_ratio", 12.0)
+        # XLA:TPU unrolls the constant-bound smoother loops, so the
+        # smoother code scales ~linearly with the degree at every
+        # cycle site (the 'cycle' ablation: 0.51 GB of 1.06 at deg 6).
+        # Until M carries an explicit linear_call transpose (which
+        # would legalize dynamic trip bounds), a reduced degree is the
+        # code-size lever against the chip's ~2 GB load ceiling.
+        cheb_deg = int(_os.environ.get("CALIBR8_MG_CHEB_DEGREE", cheb_deg))
 
         def _reduce_child(pr):
             """(E_child,) -> (E_parent,) sum over children, per vector.
