@@ -1062,6 +1062,12 @@ def run_mode(mode, dtype_str, n, model=None):
         # lean Krylov basis: MG keeps counts in the tens, and the
         # restart x n_dofs basis is what OOM'd the 1.1M-DOF compile
         os.environ.setdefault("CALIBR8_BENCH_RESTART", "50")
+        # degree-2 smoothers at scale: the chip refuses to LOAD any
+        # program >= ~2 GB of generated code, and XLA:TPU's
+        # constant-trip-count loop unrolling makes the smoother code
+        # scale with the Chebyshev degree at every cycle site (deg-6
+        # solve measured 2.8 GB; see CLAUDE.md code-size ceiling)
+        os.environ.setdefault("CALIBR8_MG_CHEB_DEGREE", "2")
         base_n = max(2, n >> refs) if refs else n
         prob = build_problem(base_n, dtype_str, refinements=refs)
         disc = prob.disc
