@@ -127,7 +127,7 @@ def build_problem(n, dtype_str, refinements=0):
                 "nonlinear absolute tol": tol,
                 "nonlinear relative tol": tol,
                 "materials": {
-                    "body": {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0}
+                    "body": {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0, "cte": 0.0, "delta_T": 0.0}
                 },
             },
         },
@@ -463,11 +463,13 @@ def _bench_assembly(prob, out, iters, with_roofline=True, hoist=None):
         )
         out["xla_seconds"] = dt_xla
         out["pallas_speedup"] = dt_xla / dt
-        # v5e: 819 GB/s HBM — the binding resource for this
-        # scatter/gather-heavy computation
-        out["xla_achieved_gb_s"] = bytes_ / dt_xla / 1e9
-        out["xla_hbm_roofline_fraction"] = (bytes_ / dt_xla) / 819e9
-        # the useful-bytes floor: state in + R/J/diag out once
+        # ONE consistent roofline model (round-3 record mixed XLA
+        # cost-analysis bytes — which report "fractions" > 1 — with
+        # useful bytes): measured wall time against the USEFUL-byte
+        # lower bound (state in + R/J/diag out exactly once) over the
+        # v5e's 819 GB/s HBM.  Both fractions are <= 1 by construction
+        # and comparable across rounds; 1/fraction is the remaining
+        # headroom against speed-of-light for this kernel.
         useful = (
             x.nbytes * 2
             + xi_prev.nbytes * 2
@@ -476,7 +478,8 @@ def _bench_assembly(prob, out, iters, with_roofline=True, hoist=None):
             * x.dtype.itemsize
         )
         out["useful_bytes"] = useful
-        out["pallas_bw_fraction_of_useful"] = (useful / dt) / 819e9
+        out["useful_bw_fraction_pallas"] = (useful / dt) / 819e9
+        out["useful_bw_fraction_xla"] = (useful / dt_xla) / 819e9
     except Exception as e:  # noqa: BLE001
         out["xla_time_error"] = str(e)[-200:]
 
@@ -546,7 +549,11 @@ def _bench_newton(prob, out, dtype_str, iters, refinements=0, hoist=None,
     mg = prob.mg_factory if refinements else None
     body, consts = _newton_fn(prob, dtype_str, mg, hoist=hoist)
     args = (x, x_prev, xi_prev, params, bc_dofs, bc_vals) + consts
-    report_mem(body, args, out)
+    # no report_mem here: the timed path compiles its OWN scan-harness
+    # executable, so an extra jax.jit(body) would compile and load a
+    # second copy of a potentially GB-scale program — the exact hazard
+    # report_mem exists to avoid.  Scale memory evidence comes from the
+    # split benches, which pass their jitted callables.
     if sync:
         dt = timeit_sync(body, args, iters)
     else:
@@ -795,7 +802,8 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None,
         loc = loc_h(hoist, x, x_prev, xi_prev, params)
     jfn, consts, f0, g0 = _make_adjoint_fn(prob, dtype_str, hoist=hoist, mg=mg)
     args = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0) + consts
-    report_mem(jfn, args, out)
+    # no report_mem: see _bench_newton (scan harness compiles its own
+    # executable; memory evidence at scale comes from the split benches)
     if sync:
         dt = timeit_sync(jfn, args, iters)
     else:
@@ -809,12 +817,15 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None,
         out["preconditioner"] = "multigrid"
 
 
-def run_calibration(dtype_str):
+def run_calibration(dtype_str, n=10):
     """Calibration iterations-to-tolerance (BASELINE.json third headline):
     synthetic generation at truth params -> adjoint-gradient L-BFGS-B
     recovery from a perturbed start, mirroring the reference python FEMU
-    workflow (test/python/CMakeLists.txt:30-77) at the fast-suite size
-    (tests/test_calibration_recovery.py::test_femu_recovery_fast)."""
+    workflow (test/python/CMakeLists.txt:30-77).  `n` sets the mesh as
+    h = n/1000: the default n=10 is a REALISTIC 22k-element notch
+    (the reference's FEMU workload is a notch mesh, not a toy patch;
+    the round-3 50-DOF row was pure dispatch RTT and said nothing
+    about calibration cost)."""
     import copy
 
     from calibr8_tpu.deck import load_deck
@@ -833,9 +844,10 @@ def run_calibration(dtype_str):
         "R00": 1.0, "R11": 1.0, "R22": 1.0, "R01": 1.0,
     }
     tol = 1e-12 if dtype_str == "f64" else 1e-6
+    h = (n / 1000.0) if n else 0.25
     syn_deck = {
         "discretization": {
-            "builtin mesh": {"type": "notch2D", "h": 0.25},
+            "builtin mesh": {"type": "notch2D", "h": h},
             "num steps": 2,
             "step size": 1.0,
         },
@@ -1031,6 +1043,19 @@ def run_twins(dtype_str, n, model=None):
     return out
 
 
+def _mark_stalled(out, dtype_str):
+    """Label rows whose Krylov solve never reached a meaningful
+    residual: an unconverged per-step time is NOT a step time (the
+    round-3 record carried a 0.43 s 'newton' row at relres 3.8e-3 —
+    the f32 one-level floor — next to the converged 1.06 s MG row)."""
+    thresh = 1e-4 if dtype_str == "f32" else 1e-8
+    for k in list(out):
+        if k.endswith("solve_relres") and out[k] is not None:
+            if float(out[k]) > thresh:
+                out[k.replace("solve_relres", "stalled")] = True
+    return out
+
+
 def run_mode(mode, dtype_str, n, model=None):
     import jax
 
@@ -1043,7 +1068,7 @@ def run_mode(mode, dtype_str, n, model=None):
     iters = 10 if dtype_str == "f32" else 5
 
     if mode == "calibration":
-        out = run_calibration(dtype_str)
+        out = run_calibration(dtype_str, n)
         out["device"] = str(jax.devices()[0])
         return out
 
@@ -1111,7 +1136,7 @@ def run_mode(mode, dtype_str, n, model=None):
         except Exception:  # noqa: BLE001 — stats are best-effort
             pass
         out["device"] = str(jax.devices()[0])
-        return out
+        return _mark_stalled(out, dtype_str)
 
     prob = build_problem(n, dtype_str, refinements=refinements)
     disc = prob.disc
@@ -1130,7 +1155,51 @@ def run_mode(mode, dtype_str, n, model=None):
             sync=dtype_str == "f64",
         )
     out["device"] = str(jax.devices()[0])
-    return out
+    return _mark_stalled(out, dtype_str)
+
+
+def _summary_row(key, d):
+    """One-line summary of a mode's result dict for the headline: the
+    full detail outgrew the driver's stdout tail window two rounds
+    running (BENCH_r02/r03 'parsed: null')."""
+    if not isinstance(d, dict):
+        return d
+    if "models" in d:  # twins mode
+        rows = [
+            v for v in d["models"].values()
+            if isinstance(v, dict) and "speedup" in v
+        ]
+        row = {"n_models_ok": len(rows), "n_models": len(d["models"])}
+        if rows:
+            sp = sorted(float(v["speedup"]) for v in rows)
+            row["speedup_median"] = round(sp[len(sp) // 2], 2)
+        if d.get("cached"):
+            row["cached"] = True
+        return row
+    row = {}
+    for k in (
+        "n_dofs", "seconds", "gdof_per_s", "solve_relres", "stalled",
+        "newton_seconds", "newton_solve_relres", "newton_stalled",
+        "adjoint_seconds", "adjoint_solve_relres", "adjoint_stalled",
+        "adjoint_s_per_step_at_10M_dof_extrapolated",
+        "seconds_per_eval", "n_evals", "pallas_speedup",
+        "useful_bw_fraction_pallas",
+    ):
+        if k in d and d[k] is not None:
+            v = d[k]
+            row[k] = round(v, 6) if isinstance(v, float) else v
+    for k in ("cached", "skipped", "live_skipped"):
+        if d.get(k):
+            row[k] = d[k]
+    for k in ("error", "live_error"):
+        if d.get(k):
+            row[k] = str(d[k])[-80:]
+    # stalled flags for rows cached before _mark_stalled existed
+    thresh = 1e-8 if key.endswith("f64") else 1e-4
+    for k in list(row):
+        if k.endswith("solve_relres") and float(row[k]) > thresh:
+            row.setdefault(k.replace("solve_relres", "stalled"), True)
+    return row
 
 
 def _headline(detail):
@@ -1143,7 +1212,9 @@ def _headline(detail):
             "value": round(gdofs, 6),
             "unit": "GDOF/s",
             "vs_baseline": round(gdofs / target, 3) if gdofs else 0.0,
-            "detail": detail,
+            "modes": {
+                k: _summary_row(k, v) for k, v in detail.items()
+            },
         }
     )
 
@@ -1181,6 +1252,10 @@ def main():
     detail = {}
 
     def emit():
+        # full detail first (its own line, for humans / .bench_results
+        # cross-checks), COMPACT headline LAST — the driver reads the
+        # tail of stdout and must always see a parseable final line
+        print(json.dumps({"detail": detail}), flush=True)
         print(_headline(detail), flush=True)
 
     def _on_signal(signum, frame):  # driver timeout → still emit record
@@ -1201,7 +1276,9 @@ def main():
         ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
         ("adjoint_mg", "f32", 8),
         ("scale", "f32", int(os.environ.get("CALIBR8_BENCH_SCALE_N", 64))),
-        ("calibration", "f64", 0),  # iterations-to-tol, reference FEMU analog
+        # n=10 -> h=0.01: a 22k-element / 34k-DOF notch FEMU workload
+        # (evals-to-recovery + s/eval at a realistic mesh)
+        ("calibration", "f64", 10),
         ("assembly", "f64", 20),
         ("newton", "f64", 20),
         ("adjoint", "f64", 20),

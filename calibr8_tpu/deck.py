@@ -74,23 +74,68 @@ def load_deck(path_or_dict, subs: dict | None = None) -> "ProblemSpec":
             text = text.replace(f"@{key}@", str(val))
         raw = yaml.safe_load(text)
     # unwrap the single problem-name root key if present
-    known = {
-        "problem",
-        "discretization",
-        "residuals",
-        "dirichlet bcs",
-        "traction bcs",
-        "quantity of interest",
-        "regression",
-        "linear algebra",
-        "inverse",
-        "virtual fields",
-        "objective",
-        "adaptivity",
-    }
-    if len(raw) == 1 and not (set(raw) & known):
+    if len(raw) == 1 and not (set(raw) & _VALID_ROOT_KEYS):
         raw = next(iter(raw.values()))
+    _validate_root(raw)
     return ProblemSpec(raw)
+
+
+# the valid top-level sublists — the reference validates each driver's
+# deck against an allowed sublist set and FAILS FAST on anything else
+# (source/calibr8/src/main_primal.cpp:20-31 get_valid_params +
+# validateParameters); a typo'd sublist must not be silently ignored.
+_VALID_ROOT_KEYS = {
+    "problem",
+    "problems",  # multi-problem inverse decks (test/adjoint/2prob)
+    "discretization",
+    "residuals",
+    "dirichlet bcs",
+    "traction bcs",
+    "quantity of interest",
+    "quantities of interest",  # multi-QoI extension
+    "regression",
+    "linear algebra",
+    "inverse",
+    "virtual fields",
+    "objective",
+    "adaptivity",
+    # unit decks carry the residual sublists at the root
+    # (test/unit/unit.yaml.in)
+    "local residual",
+    "global residual",
+}
+
+# source/calibr8/src/small_J2.cpp:11-19 get_valid_local_residual_params
+_VALID_LOCAL_RESIDUAL_KEYS = {
+    "type",
+    "nonlinear max iters",
+    "nonlinear absolute tol",
+    "nonlinear relative tol",
+    "materials",
+    "line search",  # local-Newton line search (test/primal/notch_hypo_barlat)
+    "embedded model",  # hybrid NN models
+}
+
+
+def _validate_root(raw):
+    if not isinstance(raw, dict):
+        raise ValueError(f"deck root must be a mapping, got {type(raw)}")
+    unknown = set(raw) - _VALID_ROOT_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown deck sublist(s) {sorted(unknown)}; valid sublists: "
+            f"{sorted(_VALID_ROOT_KEYS)}"
+        )
+    lr = (raw.get("residuals") or {}).get("local residual") or raw.get(
+        "local residual"
+    )
+    if isinstance(lr, dict):
+        bad = set(lr) - _VALID_LOCAL_RESIDUAL_KEYS
+        if bad:
+            raise ValueError(
+                f"unknown 'local residual' key(s) {sorted(bad)}; valid: "
+                f"{sorted(_VALID_LOCAL_RESIDUAL_KEYS)}"
+            )
 
 
 @dataclass
@@ -127,14 +172,40 @@ class ProblemSpec:
     def model_name(self) -> str:
         return self.local_residual["type"]
 
-    def materials(self, param_names) -> tuple[list[str], np.ndarray]:
-        """Per-elem-set parameter matrix in model order
-        (reference: e.g. small_J2.cpp init_params)."""
+    def materials(
+        self, param_names, allow_missing: bool = False
+    ) -> tuple[list[str], np.ndarray]:
+        """Per-elem-set parameter matrix in model order, VALIDATED
+        against the model's parameter list: the reference rejects
+        unknown material keys (validateParameters against
+        get_valid_material_params, source/calibr8/src/small_J2.cpp:20-29)
+        and throws on missing ones (Teuchos get<double> without a
+        default, small_J2.cpp:55-64) — a typo'd 'Yy' must fail here
+        with the key named, not deep in tracing.
+
+        `allow_missing=True` permits absent parameters (models with
+        default_params — embedded-NN weights are not deck keys)."""
         mats = self.local_residual.get("materials", {})
         names = list(mats.keys())
+        valid = set(param_names)
         vals = np.zeros((len(names), len(param_names)))
         for i, es in enumerate(names):
             m = mats[es] or {}
+            unknown = set(m) - valid
+            if unknown:
+                raise ValueError(
+                    f"unknown material parameter(s) {sorted(unknown)} for "
+                    f"element set {es!r}; this model's parameters: "
+                    f"{list(param_names)}"
+                )
+            if not allow_missing:
+                missing = valid - set(m)
+                if missing:
+                    raise ValueError(
+                        f"missing material parameter(s) {sorted(missing)} "
+                        f"for element set {es!r}; this model requires: "
+                        f"{list(param_names)}"
+                    )
             for j, pname in enumerate(param_names):
                 vals[i, j] = float(m.get(pname, 0.0))
         return names, vals

@@ -68,7 +68,7 @@ def chunked_trailing(kernel, chunk=None):
         # straight into their final-layout slot materializes every
         # output exactly once; inputs slice per chunk with no stacked
         # input copies either.
-        nfull, rem = divmod(E, chunk)
+        nchunks = -(-E // chunk)
 
         def slice_args(start, size):
             return tuple(
@@ -81,25 +81,25 @@ def chunked_trailing(kernel, chunk=None):
             lambda s: jnp.zeros(s.shape[:-1] + (E,), s.dtype), shapes
         )
 
+        # a remainder chunk must NOT call kernel() at a second shape —
+        # that instantiates a second copy of the fused element kernel
+        # in generated code, against the ~2 GB executable-load ceiling.
+        # Instead the FINAL chunk overlaps backwards (start = E - chunk)
+        # so every iteration runs the one full-chunk kernel; the
+        # overlapped elements are recomputed with identical values and
+        # rewritten in place.  No padded input copies either.
         def body(c, outs):
-            o = kernel(*slice_args(c * chunk, chunk))
+            start = jnp.minimum(c * chunk, E - chunk)
+            o = kernel(*slice_args(start, chunk))
             return jax.tree.map(
                 lambda acc, oc: jax.lax.dynamic_update_slice_in_dim(
-                    acc, oc, c * chunk, acc.ndim - 1
+                    acc, oc, start, acc.ndim - 1
                 ),
                 outs,
                 o,
             )
 
-        outs = jax.lax.fori_loop(0, nfull, body, outs)
-        if rem:
-            o = kernel(*(a[..., nfull * chunk:] for a in args))
-            outs = jax.tree.map(
-                lambda acc, oc: acc.at[..., nfull * chunk:].set(oc),
-                outs,
-                o,
-            )
-        return outs
+        return jax.lax.fori_loop(0, nchunks, body, outs)
 
     return wrapped
 

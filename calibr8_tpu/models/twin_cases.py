@@ -11,7 +11,7 @@ exactly to the configurations whose Pallas-vs-XLA agreement is tested.
 UNIT_R = {
     "R00": 1.0, "R11": 1.0, "R22": 1.0, "R01": 1.0, "R02": 1.0, "R12": 1.0,
 }
-J2_MAT = {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0}
+J2_MAT = {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0, "cte": 0.0, "delta_T": 0.0}
 VOCE = {"E": 1000.0, "nu": 0.25, "Y": 10.0, "S": 5.0, "D": 2.0}
 HILL2D = {**VOCE, "R00": 1.0, "R11": 1.1, "R22": 0.95, "R01": 1.05}
 
@@ -58,7 +58,8 @@ CASES = [
         "hyper_J2",
         {"type": "cube", "n": 2},
         "hyper_J2",
-        {**J2_MAT, "S": 0.0, "D": 0.0, "A": 0.0, "n": 0.0},
+        {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0,
+         "S": 0.0, "D": 0.0, "A": 0.0, "n": 0.0},
         BCS_3D(0.02),
         "mechanics",
     ),

@@ -716,15 +716,13 @@ class DistContext:
 
         norm_b = jnp.sqrt(jnp.vdot(b, b).real)
         safe_nb = jnp.where(norm_b > 0, norm_b, 1.0)
+        from calibr8_tpu.solve.gmres import gmres_cycle, pcg
+
         if method == "cg":
-            x, _ = jax.scipy.sparse.linalg.cg(
-                op, b, tol=cfg.tol, maxiter=cfg.max_iters, M=M
-            )
+            x, _ = pcg(op, b, M, cfg.tol, cfg.max_iters)
             for _ in range(max(cfg.refine_iters, 1)):
                 r = b - op(x)
-                dx, _ = jax.scipy.sparse.linalg.cg(
-                    op, r, tol=cfg.tol, maxiter=cfg.max_iters, M=M
-                )
+                dx, _ = pcg(op, r, M, cfg.tol, cfg.max_iters)
                 x = jnp.where(
                     jnp.sqrt(jnp.vdot(r, r).real) > cfg.tol * norm_b,
                     x + dx,
@@ -735,10 +733,12 @@ class DistContext:
 
         # GMRES with MANUAL guarded restarts from the true residual
         # (see solve/linear.py) — cfg.max_iters counts TOTAL inner
-        # iterations.  RIGHT preconditioning (operator = op∘M, dx =
-        # M y): jax gmres's left-applied M would minimize the
-        # PRECONDITIONED residual, a wildly distorted norm under the
-        # mixed u/p block preconditioner (see solve/linear.py).
+        # iterations, each cycle is the own-rolled jitted GMRES(m)
+        # with early exit (solve/gmres.py; sharded operands reduce
+        # globally through its jnp dots).  RIGHT preconditioning
+        # (operator = op∘M, dx = M y): a left-applied M would minimize
+        # the PRECONDITIONED residual, a wildly distorted norm under
+        # the mixed u/p block preconditioner (see solve/linear.py).
         restart = min(cfg.restart, n)
         n_outer = (
             max(1, -(-cfg.max_iters // restart)) + max(cfg.refine_iters, 1)
@@ -756,16 +756,8 @@ class DistContext:
             x, it, stag, _ = c
             r = b - op(x)
             rn = jnp.sqrt(jnp.vdot(r, r).real)
-            dy, _ = jax.scipy.sparse.linalg.gmres(
-                opM,
-                r,
-                tol=0.0,
-                atol=atol,
-                maxiter=1,
-                restart=restart,
-                M=None,
-                solve_method="batched",
-            )
+            # in-cycle target one digit below atol — see solve/linear.py
+            dy, _, _ = gmres_cycle(opM, r, restart, 0.1 * atol)
             cand = x + M(dy)
             rn_new = jnp.sqrt(
                 jnp.vdot(b - op(cand), b - op(cand)).real

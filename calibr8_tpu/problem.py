@@ -120,7 +120,10 @@ class Problem:
 
         # material parameters per elem set, model order; models with
         # embedded networks provide default (initial) weight values
-        es_names, vals = spec.materials(self.model.param_names)
+        es_names, vals = spec.materials(
+            self.model.param_names,
+            allow_missing=hasattr(self.model, "default_params"),
+        )
         if hasattr(self.model, "default_params"):
             defaults = self.model.default_params()
             mats = spec.local_residual.get("materials", {})

@@ -236,6 +236,18 @@ def _rigid_transforms(rel, s_child, S_parent, d):
 # ---------------------------------------------------------------------
 
 
+def _dyn_bound(n, anchor):
+    """Loop bound `n` made data-dependent (anchor must be a traced
+    array): XLA:TPU UNROLLS while loops with provably-constant trip
+    counts, so a constant-bound fori_loop instantiates its body's
+    matvec trip-count times PER CALL SITE — measured ~0.5 GB of
+    generated code from the Chebyshev smoothers alone in one V-cycle
+    apply at 1.5M elements, against the chip's ~2 GB executable-load
+    ceiling (scripts/ablate_code_size.py 'cycle' probe)."""
+    z = jax.lax.stop_gradient(anchor).reshape(-1)[0]
+    return n + (z * 0).astype(jnp.int32)
+
+
 def _power_lmax(matvec, dinv_apply, n, dtype, iters: int = 10):
     """Largest eigenvalue estimate of D^-1 A by power iteration from a
     deterministic pseudo-random start (jit-safe, no RNG state)."""
@@ -246,7 +258,10 @@ def _power_lmax(matvec, dinv_apply, n, dtype, iters: int = 10):
         w = dinv_apply(matvec(v))
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
-    v = jax.lax.fori_loop(0, iters, body, v)
+    # anchor the bound on the operator output so the loop cannot be
+    # unrolled (the matvec body is the code-size cost, see _dyn_bound)
+    v0 = body(0, v)
+    v = jax.lax.fori_loop(1, _dyn_bound(iters, v0), body, v0)
     w = dinv_apply(matvec(v))
     return jnp.maximum(jnp.linalg.norm(w), 1e-12)
 
@@ -279,8 +294,12 @@ def _chebyshev(matvec, dinv_apply, lmax, degree: int, ratio: float):
             r = r - matvec(d)
             return (x, r, d, rho_new)
 
+        # data-dependent bound: a constant bound lets XLA:TPU unroll
+        # the loop, instantiating `matvec` degree-1 times per smoother
+        # SITE (~0.5 GB of code across one V-cycle at 1.5M elements,
+        # against the ~2 GB executable-load ceiling; see _dyn_bound)
         x, _, _, _ = jax.lax.fori_loop(
-            0, degree - 1, body, (x, r, x, rho0)
+            0, _dyn_bound(degree - 1, lmax), body, (x, r, x, rho0)
         )
         return x
 

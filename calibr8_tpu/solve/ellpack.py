@@ -183,19 +183,23 @@ def assemble_ell_T(J_e, disc, transpose=False):
         # per chunk bounds the live temp to one chunk with no stacked
         # input copy (lax.map's prep would re-copy all of JT).
         ids2 = jnp.reshape(ids, (npe * npe, n_e))
-        nfull = n_e // chunk
+        # ceil-div chunking with a backward-overlapping FINAL chunk:
+        # a remainder-shaped scatter_block call would instantiate the
+        # scatter a second time in generated code (executable-size
+        # ceiling); instead the last chunk starts at n_e - chunk and a
+        # lane mask zeroes the already-added overlap (adds are not
+        # idempotent, unlike the dense-output overlap rewrite in
+        # fem/assembly.chunked_trailing).
+        nchunks = -(-n_e // chunk)
 
         def body(c, A2):
-            s = c * chunk
+            s = jnp.minimum(c * chunk, n_e - chunk)
             Jc = jax.lax.dynamic_slice_in_dim(JT, s, chunk, axis=2)
             idc = jax.lax.dynamic_slice_in_dim(ids2, s, chunk, axis=1)
-            return scatter_block(A2, Jc, idc)
+            mask = ((s + jnp.arange(chunk)) >= c * chunk).astype(Jc.dtype)
+            return scatter_block(A2, Jc * mask, idc)
 
-        A2 = jax.lax.fori_loop(0, nfull, body, A2)
-        if n_e % chunk:
-            A2 = scatter_block(
-                A2, JT[:, :, nfull * chunk:], ids2[:, nfull * chunk:]
-            )
+        A2 = jax.lax.fori_loop(0, nchunks, body, A2)
     # (ndpn, ndpn, K, n) -> (K, ndpn, ndpn, n): minor axis stays big
     A_T = A2.reshape(ndpn, ndpn, K, n).transpose(2, 0, 1, 3)
     return A_T, maps["nbr"]
@@ -226,19 +230,18 @@ def assemble_ell_T_blocks(JT, ids, K, n_nodes, npe, m):
     if E <= chunk:
         A2 = scatter_block(A2, JT, ids2)
     else:
-        nfull = E // chunk
+        # backward-overlapping final chunk + lane mask (one scatter
+        # instantiation; see assemble_ell_T)
+        nchunks = -(-E // chunk)
 
         def body(c, A2):
-            s = c * chunk
+            s = jnp.minimum(c * chunk, E - chunk)
             Jc = jax.lax.dynamic_slice_in_dim(JT, s, chunk, axis=2)
             idc = jax.lax.dynamic_slice_in_dim(ids2, s, chunk, axis=1)
-            return scatter_block(A2, Jc, idc)
+            mask = ((s + jnp.arange(chunk)) >= c * chunk).astype(Jc.dtype)
+            return scatter_block(A2, Jc * mask, idc)
 
-        A2 = jax.lax.fori_loop(0, nfull, body, A2)
-        if E % chunk:
-            A2 = scatter_block(
-                A2, JT[:, :, nfull * chunk:], ids2[:, nfull * chunk:]
-            )
+        A2 = jax.lax.fori_loop(0, nchunks, body, A2)
     return A2.reshape(m, m, K, n_nodes).transpose(2, 0, 1, 3)
 
 

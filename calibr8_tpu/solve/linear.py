@@ -164,15 +164,13 @@ def solve_info(
         def M(v):
             return v / safe_diag
 
+    from calibr8_tpu.solve.gmres import gmres_cycle, pcg
+
     if method == "cg":
-        x, _ = jax.scipy.sparse.linalg.cg(
-            op, b, tol=cfg.tol, maxiter=cfg.max_iters, M=M
-        )
+        x, _ = pcg(op, b, M, cfg.tol, cfg.max_iters)
         for _ in range(cfg.refine_iters):
             r = b - op(x)
-            cand, _ = jax.scipy.sparse.linalg.cg(
-                op, r, tol=cfg.tol, maxiter=cfg.max_iters, M=M
-            )
+            cand, _ = pcg(op, r, M, cfg.tol, cfg.max_iters)
             cand = x + cand
             ok = jnp.isfinite(jnp.sum(cand))
             x = jnp.where(
@@ -182,20 +180,24 @@ def solve_info(
 
     # GMRES with MANUAL restarts: each cycle re-orthogonalizes from the
     # TRUE residual with an absolute target, and a non-finite cycle
-    # (f32 batched-GMRES breakdown under internal restarts) is dropped
-    # instead of poisoning the solution.  cfg.max_iters counts TOTAL
-    # inner iterations (the Belos convention).
+    # (f32 breakdown under restarts) is dropped instead of poisoning
+    # the solution.  cfg.max_iters counts TOTAL inner iterations (the
+    # Belos convention).  The cycle itself is the own-rolled jitted
+    # GMRES(m) (solve/gmres.py): per-iteration Givens residual
+    # estimate with EARLY EXIT, and no custom_linear_solve — so the
+    # preconditioner may contain data-dependent trip bounds (the
+    # executable-size fix for the Chebyshev smoother loops).
     #
     # RIGHT preconditioning (solve (A M) y = r, dx = M y) — the Belos
-    # GMRES default.  jax.scipy gmres applies M on the LEFT and then
-    # minimizes the PRECONDITIONED residual ||M (b - A x)||; with the
-    # mixed u/p block preconditioner that norm is wildly distorted (the
+    # GMRES default.  A left-applied M would minimize the
+    # PRECONDITIONED residual ||M (b - A x)||; with the mixed u/p
+    # block preconditioner that norm is wildly distorted (the
     # stabilized pressure block's inverse amplifies p rows ~1e6 over u
     # rows), and a least-squares step that shrinks ||M r|| can GROW the
     # true residual — measured: one 30-iteration cycle took relres from
-    # 1.0 to 4.98 at 196k elements.  Composing M into the operator and
-    # leaving gmres unpreconditioned keeps the minimization in the TRUE
-    # residual norm with the same Krylov spectrum.
+    # 1.0 to 4.98 at 196k elements.  Composing M into the operator
+    # keeps the minimization in the TRUE residual norm with the same
+    # Krylov spectrum.
     restart = min(cfg.restart, n_dofs)
     n_outer = max(1, -(-cfg.max_iters // restart)) + cfg.refine_iters
     atol = cfg.tol * norm_b
@@ -211,16 +213,13 @@ def solve_info(
         x, it, stag, _ = c
         r = b - op(x)
         rn = jnp.linalg.norm(r)
-        dy, _ = jax.scipy.sparse.linalg.gmres(
-            opM,
-            r,
-            tol=0.0,
-            atol=atol,
-            maxiter=1,
-            restart=restart,
-            M=None,
-            solve_method="batched",
-        )
+        # in-cycle target one digit below the outer atol: stopping a
+        # cycle exactly AT tol leaves the solution with O(tol) error
+        # and degrades cross-path reproducibility (dist-vs-single
+        # parity measured 1.06e-9 at tol 1e-10 when exiting at atol);
+        # the pre-floor early exit still saves the wasted tail of a
+        # full fixed-length cycle
+        dy, _, _ = gmres_cycle(opM, r, restart, 0.1 * atol)
         cand = x + M(dy)
         rn_new = jnp.linalg.norm(b - op(cand))
         better = jnp.isfinite(rn_new) & (rn_new < rn)

@@ -720,7 +720,7 @@ class MGPrecondFactory:
                 return _galerkin_block(jt, pr["P_nT"], _reduce_child(pr))
             n_par = pr["n_parent_elems"]
             pch = max(1, gal_chunk // k)
-            nfull, prem = divmod(n_par, pch)
+            nchunks = -(-n_par // pch)
 
             def red_in_chunk(v, k=k):
                 acc = v[0::k]
@@ -739,17 +739,16 @@ class MGPrecondFactory:
                 P_c = jax.lax.dynamic_slice_in_dim(P, s_ch, c_ch, 2)
                 return _galerkin_block(jt_c, P_c, red_in_chunk)
 
+            # backward-overlapping final chunk: a remainder-shaped
+            # chunk_at would instantiate the Galerkin stage kernels a
+            # second time in generated code (executable-size ceiling);
+            # overlapped parents recompute identical blocks in place.
             def body(c, out):
-                blk = chunk_at(c * pch, pch)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    out, blk, c * pch, 2
-                )
+                s = jnp.minimum(c * pch, n_par - pch)
+                blk = chunk_at(s, pch)
+                return jax.lax.dynamic_update_slice_in_dim(out, blk, s, 2)
 
-            out = jax.lax.fori_loop(0, nfull, body, out)
-            if prem:
-                blk = chunk_at(nfull * pch, prem)
-                out = out.at[:, :, nfull * pch:].set(blk)
-            return out
+            return jax.lax.fori_loop(0, nchunks, body, out)
 
         def mk_level_u(JT, pr):
             conn = pr["parent_conn"]

@@ -75,7 +75,10 @@ def make_deck(
 
 
 ELASTIC_MAT = {"E": 1000.0, "nu": 0.25, "cte": 1e-3, "delta_T": 10.0}
-J2_MAT = {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0}
+J2_MAT = {
+    "E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0,
+    "cte": 0.0, "delta_T": 0.0,
+}
 HYPER_MAT = {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0, "S": 0.0, "D": 0.0, "A": 0.0, "n": 0.0}
 HYPER_ELASTIC_MAT = {**HYPER_MAT, "Y": 100000.0}
 VOCE_MAT = {"E": 1000.0, "nu": 0.25, "Y": 2.0, "S": 10.0, "D": 2.0}

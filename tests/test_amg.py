@@ -73,20 +73,22 @@ def test_amg_iteration_count_h_robust():
     # L=2 -> L=3: the asymptotic regime (the L=1 -> L=2 ratio is ~2.2x
     # because the 243-dof base is nearly free for any preconditioner;
     # measured counts 20 -> 45 -> 60 vs block-GS 101 -> 488 -> stall)
+    # probe at tol=1e-8 — the CONVERGING regime.  At 1e-10 the relres
+    # curve is already flattening toward the f64 floor and the tol
+    # crossing moves tens of iterations under eps-level
+    # summation-order changes (the Chebyshev fori_loop rewrite moved
+    # the L=2 crossing 45 -> 27 while L=3 stayed put, which would flip
+    # any fixed ratio); in the converging regime the crossing is
+    # stable and the tight 2x h-robustness bound holds.
     its = {}
     its_bgs = {}
     for L in (2, 3):
         prob = _amg_problem_builtin(L)
         assert isinstance(prob.mg_factory, AMGPrecondFactory)
-        its[L], conv = _iters(prob, "amg")
+        its[L], conv = _iters(prob, "amg", tol=1e-8)
         assert conv, f"AMG-preconditioned gmres stalled at L={L}"
-        its_bgs[L], _ = _iters(prob, "bgs")
-    # 2.5x, not 2x: the tol crossing moves tens of iterations under
-    # eps-level fusion/summation-order changes (see the GMRES-count
-    # note in CLAUDE.md) — the Chebyshev fori_loop rewrite moved the
-    # L=2 crossing from 45 to 27 iterations while L=3 stayed at 60,
-    # flipping a ratio test that the identical math passed before.
-    assert its[3] <= 2.5 * its[2], (its, its_bgs)
+        its_bgs[L], _ = _iters(prob, "bgs", tol=1e-8)
+    assert its[3] <= 2.0 * its[2], (its, its_bgs)
     assert its[3] < its_bgs[3], (its, its_bgs)
 
 

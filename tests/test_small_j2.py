@@ -103,7 +103,7 @@ NOTCH2D_SMALL_J2 = {
             "nonlinear absolute tol": 1e-12,
             "nonlinear relative tol": 1e-12,
             "materials": {
-                "body": {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0}
+                "body": {"E": 1000.0, "nu": 0.25, "K": 100.0, "Y": 10.0, "cte": 0.0, "delta_T": 0.0}
             },
         },
     },
