@@ -625,6 +625,10 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
     report_mem(body2, a2, out, tag="_solve", jitted=jf2)
     o2 = jf2(*a2)  # warmup/compile the solve program (donates o1's blocks)
     jax.block_until_ready(o2)
+    # convergence evidence that survives a timed-run fault (see
+    # _bench_adjoint_split)
+    out["warmup_relres"] = float(o2[2])
+    print(json.dumps({"warmup_relres": out["warmup_relres"]}), flush=True)
     del a2, o1, o2  # free every warmup buffer before the timed runs
 
     def run_once():
@@ -719,6 +723,12 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     report_mem(body2, a2, out, tag="_post", jitted=jf2)
     res = jf2(*a2)  # warmup/compile the post program (donates s1)
     jax.block_until_ready(res)
+    # fetch + record the warmup relres NOW: if a later timed run
+    # faults the axon client, the convergence evidence survives (the
+    # first 1.1M-DOF adjoint attempt died fetching relres AFTER the
+    # timing loop, leaving a seconds value with no convergence record)
+    out["warmup_relres"] = float(res.relres)
+    print(json.dumps({"warmup_relres": out["warmup_relres"]}), flush=True)
     del a2, s1, res  # free every warmup buffer before the timed runs
 
     def run_once():
@@ -815,6 +825,72 @@ def _bench_adjoint(prob, out, dtype_str, iters, hoist=None, mg=None,
     out["solve_relres"] = float(jax.jit(jfn)(*args).relres)
     if mg is not None:
         out["preconditioner"] = "multigrid"
+
+
+def run_dist_overhead(dtype_str, n):
+    """Per-Krylov-iteration cost of the domain-decomposed path at
+    n_parts=1 vs the single-chip ELL path on the same chip — quantifies
+    the shard_map + halo-exchange + per-part-apply overhead that the
+    multi-chip composition pays (VERDICT r3 item 4; reference anchor:
+    Tpetra Export-ADD discipline, source/calibr8/src/linear_alg.hpp:15-53).
+
+    Both paths run the SAME own-rolled GMRES(m) cycle, unpreconditioned
+    with atol=0 (no early exit), so every iteration does identical work
+    except the operator apply; per-iteration seconds divide by m."""
+    import jax
+    import jax.numpy as jnp
+
+    from calibr8_tpu.parallel.dist import DistContext
+    from calibr8_tpu.solve.ellpack import EllOperator
+    from calibr8_tpu.solve.gmres import gmres_cycle
+
+    prob = build_problem(n, dtype_str)
+    disc = prob.disc
+    a = prob.assembler
+    x, x_prev, xi_prev = representative_state(prob)
+    bc_dofs, bc_vals = prob.dbcs.arrays(1.0)
+    loc = a.local_solve(x, x_prev, xi_prev, prob.params0)
+    R, J_e, diag = a.residual_and_jacobian(
+        x, x_prev, loc.xi, xi_prev, loc.path, prob.params0
+    )
+    out = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
+    m = 30
+    iters = 5
+
+    op1 = EllOperator(disc, J_e, diag, bc_dofs)
+
+    def cyc_single(r):
+        return gmres_cycle(op1, r, m, 0.0)[0]
+
+    r0 = -R
+    t1 = timeit_scan(cyc_single, (r0,), iters, lambda o: o.ravel()[0])
+    out["single_s_per_iter"] = t1 / m
+
+    ctx = DistContext(prob, n_parts=1)
+    Xd = ctx.to_dist(x)
+    XPd = ctx.to_dist(x_prev)
+    xid = ctx.init_xi_dist()
+    Rd, J_T, diag_d, *_ = ctx.assemble(Xd, XPd, xid, prob.params0)
+    bc_mask, _ = ctx.bc_dist(bc_dofs, bc_vals)
+    A_ell = ctx.ell_assemble(J_T)
+    if jax.default_backend() == "tpu" and A_ell.dtype != jnp.float64:
+        A_Td = ctx.ell_trailing(A_ell)
+
+        def opd(v):
+            return jnp.where(bc_mask, diag_d * v, ctx.ell_matvec_T(A_Td, v))
+    else:
+
+        def opd(v):
+            return jnp.where(bc_mask, diag_d * v, ctx.ell_matvec(A_ell, v))
+
+    def cyc_dist(r):
+        return gmres_cycle(opd, r, m, 0.0)[0]
+
+    rd0 = ctx.to_dist(-R)
+    t2 = timeit_scan(cyc_dist, (rd0,), iters, lambda o: o.ravel()[0])
+    out["dist_s_per_iter"] = t2 / m
+    out["dist_overhead_ratio"] = t2 / t1
+    return out
 
 
 def run_calibration(dtype_str, n=10):
@@ -1067,6 +1143,11 @@ def run_mode(mode, dtype_str, n, model=None):
         mode = mode[: -len("_mg")]
     iters = 10 if dtype_str == "f32" else 5
 
+    if mode == "dist_overhead":
+        out = run_dist_overhead(dtype_str, n)
+        out["device"] = str(jax.devices()[0])
+        return out
+
     if mode == "calibration":
         out = run_calibration(dtype_str, n)
         out["device"] = str(jax.devices()[0])
@@ -1184,6 +1265,8 @@ def _summary_row(key, d):
         "adjoint_s_per_step_at_10M_dof_extrapolated",
         "seconds_per_eval", "n_evals", "pallas_speedup",
         "useful_bw_fraction_pallas",
+        "single_s_per_iter", "dist_s_per_iter", "dist_overhead_ratio",
+        "rel_err_Y", "rel_err_D",
     ):
         if k in d and d[k] is not None:
             v = d[k]
@@ -1275,6 +1358,9 @@ def main():
         ("adjoint", "f32", 32),
         ("newton_mg", "f32", 8),  # n=8 + 2 refinements = 196k elements
         ("adjoint_mg", "f32", 8),
+        # dist composition cost on one chip: per-iteration overhead of
+        # the shard_map/halo path at n_parts=1 vs the single-chip ELL
+        ("dist_overhead", "f32", 32),
         ("scale", "f32", int(os.environ.get("CALIBR8_BENCH_SCALE_N", 64))),
         # n=10 -> h=0.01: a 22k-element / 34k-DOF notch FEMU workload
         # (evals-to-recovery + s/eval at a realistic mesh)

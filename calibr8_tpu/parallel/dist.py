@@ -764,14 +764,12 @@ class DistContext:
             )
             better = jnp.isfinite(rn_new) & (rn_new < rn)
             x_next = jnp.where(better, cand, x)
-            # stagnation (<5% progress) must persist two consecutive
-            # cycles before exiting — see solve/linear.py
-            stag_next = jnp.where(rn_new > 0.95 * rn, stag + 1, 0)
-            done = (
-                (jnp.minimum(rn_new, rn) <= atol)
-                | jnp.logical_not(better)
-                | (stag_next >= 2)
-            )
+            # no-progress cycles (slow, non-improving, or non-finite)
+            # must persist two consecutive cycles before exiting —
+            # see solve/linear.py
+            progress = better & (rn_new <= 0.95 * rn)
+            stag_next = jnp.where(progress, 0, stag + 1)
+            done = (jnp.minimum(rn_new, rn) <= atol) | (stag_next >= 2)
             return (x_next, it + 1, stag_next, done)
 
         x, _, _, _ = jax.lax.while_loop(

@@ -29,8 +29,20 @@ def main():
         if "seconds" in d and "error" not in d:
             # completed phase (setup-only lines lack "seconds"); the
             # chain's diagnostic fallbacks may log a SMALLER mesh
-            # (newton size-bisect) — never mix sizes into one row
-            phases.setdefault(d["n_elem"], {})[d["phase"]] = d
+            # (newton size-bisect) — never mix sizes into one row.
+            # Among candidates for the same phase prefer CONVERGED
+            # (relres <= 2e-4, the f32 floor margin) over stalled, then
+            # fastest — a later unconverged degree sweep must not
+            # displace the converged row.
+            cur = phases.setdefault(d["n_elem"], {}).get(d["phase"])
+
+            def rank(p):
+                rr = p.get("solve_relres", p.get("warmup_relres"))
+                conv = rr is not None and rr <= 2e-4
+                return (0 if conv else 1, p["seconds"])
+
+            if cur is None or rank(d) < rank(cur):
+                phases[d["n_elem"]][d["phase"]] = d
 
     # merge the largest mesh that completed all three phases
     need = {"assembly", "newton", "adjoint"}
