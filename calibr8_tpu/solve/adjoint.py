@@ -138,16 +138,18 @@ class Adjoint:
             z, relres, B, g_modT, dJ_dp,
         )
 
-    def step_solve(
+    def step_blocks(
         self, x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
     ):
-        """Pre-solve blocks + RHS + the transposed Krylov solve.
-        Returns (z, relres, B, g_modT, dJ_dp); B is None in two-pass
-        mode (the post-solve blocks are recomputed by step_post — at
-        the 1M-DOF scale holding all 8 trailing E-blocks across the
-        solve blew the 16 GB HBM).  step_solve/step_post are separate
-        entry points so the scale bench can run them as TWO jit
-        programs whose temps never co-reside."""
+        """Pre-solve half of step_solve WITHOUT the Krylov solve:
+        blocks + RHS + operator diagonal.  Returns
+        (J_total_T, diag, rhs, B, g_modT, dJ_dp); B is None in two-pass
+        mode.  A separate entry point so the scale bench can run
+        blocks | krylov | post as THREE jit programs — the combined
+        blocks+solve program declared 11.2 GB of temps at 1.1M DOF
+        (the element-block linearize and the MG make/Krylov workspace
+        co-declared), which together with 1.9 GB of generated code and
+        the setup-resident arrays sat at the 16 GB HBM edge."""
         a = self.assembler
         disc = a.disc
         # Past the element-chunk threshold, split the blocks into a
@@ -177,17 +179,42 @@ class Adjoint:
         nde = B["J_total_T"].shape[0]
         dgT = jnp.stack([B["J_total_T"][i, i] for i in range(nde)], axis=0)
         diag = disc.scatter_elem(dgT.T)
-        z, relres = linear_mod.solve_info(
+        return (
+            B["J_total_T"], diag, rhs,
+            (None if two_pass else B), g_modT, dJ_dp,
+        )
+
+    def step_krylov(self, J_total_T, diag, rhs, bc_dofs,
+                    return_iters: bool = False):
+        """The transposed Krylov solve (MG make + GMRES), program 2 of
+        the scale three-way split."""
+        return linear_mod.solve_info(
             self.linear_cfg,
-            B["J_total_T"],
-            disc,
+            J_total_T,
+            self.assembler.disc,
             diag,
             rhs,
             bc_dofs,
             transpose=True,
             mg=getattr(self, "mg_factory", None),
+            return_iters=return_iters,
         )
-        return z, relres, (None if two_pass else B), g_modT, dJ_dp
+
+    def step_solve(
+        self, x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
+    ):
+        """Pre-solve blocks + RHS + the transposed Krylov solve.
+        Returns (z, relres, B, g_modT, dJ_dp); B is None in two-pass
+        mode (the post-solve blocks are recomputed by step_post — at
+        the 1M-DOF scale holding all 8 trailing E-blocks across the
+        solve blew the 16 GB HBM).  step_solve/step_post are separate
+        entry points so the scale bench can run them as TWO jit
+        programs whose temps never co-reside."""
+        J_total_T, diag, rhs, B, g_modT, dJ_dp = self.step_blocks(
+            x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
+        )
+        z, relres = self.step_krylov(J_total_T, diag, rhs, bc_dofs)
+        return z, relres, B, g_modT, dJ_dp
 
     def step_post(
         self, x, x_prev, xi, xi_prev, path, params_all,

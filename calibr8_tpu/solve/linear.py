@@ -71,6 +71,7 @@ def solve_info(
     bc_dofs,
     transpose: bool = False,
     mg=None,
+    return_iters: bool = False,
 ):
     """Solve J x = b with Dirichlet rows replaced by diag * x_row = b_row.
 
@@ -129,7 +130,10 @@ def solve_info(
             x = jax.lax.fori_loop(0, 8, _refine, x)
         else:
             x = jnp.linalg.solve(A, b)
-        return x, jnp.linalg.norm(b - A @ x) / safe_nb
+        rr = jnp.linalg.norm(b - A @ x) / safe_nb
+        if return_iters:
+            return x, rr, jnp.asarray(0, jnp.int32)
+        return x, rr
 
     if cfg.operator != "ebe" and jax.default_backend() == "tpu":
         # assembled node-block ELL apply: built once per solve (jit
@@ -176,7 +180,10 @@ def solve_info(
             x = jnp.where(
                 (jnp.linalg.norm(r) > cfg.tol * norm_b) & ok, cand, x
             )
-        return x, jnp.linalg.norm(b - op(x)) / safe_nb
+        rr = jnp.linalg.norm(b - op(x)) / safe_nb
+        if return_iters:
+            return x, rr, jnp.asarray(0, jnp.int32)
+        return x, rr
 
     # GMRES with MANUAL restarts: each cycle re-orthogonalizes from the
     # TRUE residual with an absolute target, and a non-finite cycle
@@ -206,11 +213,11 @@ def solve_info(
         return op(M(v))
 
     def cond_fn(c):
-        _, it, _, done = c
+        _, it, _, done, _ = c
         return (it < n_outer) & jnp.logical_not(done)
 
     def body(c):
-        x, it, stag, _ = c
+        x, it, stag, _, ki = c
         r = b - op(x)
         rn = jnp.linalg.norm(r)
         # in-cycle target one digit below the outer atol: stopping a
@@ -219,7 +226,7 @@ def solve_info(
         # parity measured 1.06e-9 at tol 1e-10 when exiting at atol);
         # the pre-floor early exit still saves the wasted tail of a
         # full fixed-length cycle
-        dy, _, _ = gmres_cycle(opM, r, restart, 0.1 * atol)
+        dy, _, k_used = gmres_cycle(opM, r, restart, 0.1 * atol)
         cand = x + M(dy)
         rn_new = jnp.linalg.norm(b - op(cand))
         better = jnp.isfinite(rn_new) & (rn_new < rn)
@@ -236,9 +243,12 @@ def solve_info(
         progress = better & (rn_new <= 0.95 * rn)
         stag_next = jnp.where(progress, 0, stag + 1)
         done = (jnp.minimum(rn_new, rn) <= atol) | (stag_next >= 2)
-        return (x_next, it + 1, stag_next, done)
+        return (x_next, it + 1, stag_next, done, ki + k_used)
 
-    x, _, _, _ = jax.lax.while_loop(
-        cond_fn, body, (jnp.zeros_like(b), 0, 0, False)
+    x, _, _, _, ki = jax.lax.while_loop(
+        cond_fn, body, (jnp.zeros_like(b), 0, 0, False, jnp.asarray(0, jnp.int32))
     )
-    return x, jnp.linalg.norm(b - op(x)) / safe_nb
+    relres = jnp.linalg.norm(b - op(x)) / safe_nb
+    if return_iters:
+        return x, relres, ki
+    return x, relres

@@ -16,8 +16,10 @@ from calibr8_tpu.problem import Problem
 from tests.decks import BCS_2D, J2_MAT, make_deck
 
 
-@pytest.mark.smoke
 def test_dist_pallas_assembly_matches_dist_xla(monkeypatch):
+    # default tier, not smoke: the interpret-mode reference pass costs
+    # ~7 min on the CPUx8 box (dist smoke coverage lives in
+    # test_dist.py::test_dist_primal_matches_single_device)
     assert jax.device_count() >= 8
     deck = make_deck(
         {"type": "notch2D", "h": 0.22}, "small_J2", J2_MAT, BCS_2D(0.001), 2

@@ -65,6 +65,7 @@ def _iters(prob, M=None, tol=1e-10):
     return info.iterations
 
 
+@pytest.mark.smoke
 def test_mg_iteration_count_flat_2d():
     """GMRES+MG counts stay roughly flat from h to h/4 on notch2D J2,
     while one-level block-GS counts grow with refinement."""
@@ -91,8 +92,9 @@ def test_mg_iteration_count_flat_3d_cube():
     assert its[2] <= 2 * its[1], its
 
 
-@pytest.mark.smoke
 def test_mg_recursive_multilevel():
+    # default tier, not smoke (~4 min on the CPU box): the smoke-tier
+    # MG gate is test_mg_iteration_count_flat_2d
     """>= 3 refinement levels route to the RECURSIVE per-pair cycle
     (composite two-level over an 8^3-fold coarsening loses
     h-independence); counts stay h-robust L=3 -> L=4 (measured 30 ->
