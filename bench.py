@@ -494,11 +494,15 @@ def _newton_fn(prob, dtype_str, mg, hoist=None):
     disc = prob.disc
     # to-convergence budget (max_iters counts TOTAL inner iterations;
     # solve_relres in the output verifies the solve actually reached
-    # tol).  f32 attainable accuracy at this conditioning is ~1e-2
-    # relative (eps32 * kappa); Newton is inexact anyway.
+    # tol).  f32 tol 1e-4 matches _mark_stalled's 2e-4 gate: the
+    # round-3 5e-3 setting relied on full fixed-length gmres cycles
+    # OVERSHOOTING to ~9e-5; the own-rolled cycle exits at 0.1*atol,
+    # so requesting 5e-3 now yields ~5e-4 — correct behavior that the
+    # stall gate would mislabel (the one-level f32 rows still stall at
+    # their genuine ~4e-3 floor and are labeled so).
     lin_cfg = linear_mod.LinearCfg(
         method="gmres",
-        tol=5e-3 if dtype_str == "f32" else 1e-6,
+        tol=1e-4 if dtype_str == "f32" else 1e-6,
         max_iters=800,
         # the restart basis is the dominant Krylov HBM cost at scale
         # (restart x n_dofs x 4 B: 100 x 1.1M ~ 440 MB f32); the scale
@@ -609,12 +613,27 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
             R = apply_dbcs_residual(R, diag, x, bc_dofs, bc_vals)
         return R, J_e, diag, xi
 
-    def body2(J_e, diag, R, x, bc_dofs, st, mst):
+    # preconditioner-state split (mg.make_state): the recursive MG's
+    # Galerkin/lmax/Newton-Schulz build runs as its OWN program whose
+    # output pytree feeds the solve program as jit arguments — the
+    # hierarchy rebuild leaves the per-step path (rebuilt once per
+    # Newton SOLVE, reused across its iterations: the MueLu reuse
+    # discipline, linear_solve.cpp:36-123) and its generated code
+    # (~0.8 GB at 1.5M elements) leaves the Krylov executable
+    use_state = mg is not None and getattr(mg, "recursive", False)
+
+    def body_mk(J_e, diag, bc_dofs, st, mst):
+        with disc.bind(st), mg.bind(mst):
+            return linear_mod.mg_make_state(
+                lin_cfg, J_e, disc, diag, bc_dofs, mg
+            )
+
+    def body2(J_e, diag, R, x, bc_dofs, st, mst, mg_state):
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
             dx, relres, ki = linear_mod.solve_info(
                 lin_cfg, J_e, disc, diag, -R, bc_dofs, mg=mg,
-                return_iters=True,
+                return_iters=True, mg_state=mg_state,
             )
         return x + dx, jnp.linalg.norm(R), relres, ki
 
@@ -624,11 +643,23 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
     # at 1.1M DOF on a 16 GB chip
     jf1 = jax.jit(body1)
     jf2 = jax.jit(body2, donate_argnums=(0, 1, 2))
+    jfmk = jax.jit(body_mk) if use_state else None
     a1 = (x, x_prev, xi_prev, params, bc_dofs, bc_vals, hoist, aux)
     report_mem(body1, a1, out, tag="_asm", jitted=jf1)
     o1 = jf1(*a1)
     jax.block_until_ready(o1)
-    a2 = (o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist)
+    mg_state = None
+    if use_state:
+        amk = (o1[1], o1[2], bc_dofs, hoist, mg_hoist)
+        report_mem(body_mk, amk, out, tag="_mgmake", jitted=jfmk)
+        mg_state = jfmk(*amk)  # warmup/compile
+        jax.block_until_ready(mg_state)
+        t0 = time.perf_counter()
+        mg_state = jfmk(*amk)
+        jax.block_until_ready(mg_state)
+        out["mg_make_s"] = time.perf_counter() - t0
+        del amk
+    a2 = (o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist, mg_state)
     report_mem(body2, a2, out, tag="_solve", jitted=jf2)
     o2 = jf2(*a2)  # warmup/compile the solve program (donates o1's blocks)
     jax.block_until_ready(o2)
@@ -641,7 +672,7 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
     def run_once():
         R, J_e, diag, xi = jf1(*a1)
         del xi  # elem-state output: not a solve input, drop before jf2
-        o2 = jf2(J_e, diag, R, x, bc_dofs, hoist, mg_hoist)
+        o2 = jf2(J_e, diag, R, x, bc_dofs, hoist, mg_hoist, mg_state)
         jax.block_until_ready(o2)
         return o2
 
@@ -655,9 +686,15 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
     out["solve_relres"] = float(o2[2])
     out["solve_iters"] = int(o2[3])  # total inner Krylov iterations
-    out["split_programs"] = 2
+    out["split_programs"] = 3 if use_state else 2
     if mg is not None:
         out["preconditioner"] = "multigrid"
+    if use_state:
+        # steady-state step time (hierarchy lagged across Newton
+        # iterations); the rebuild is reported separately and the
+        # non-lagged step is their sum
+        out["precond_reuse"] = "state"
+        out["seconds_incl_mg_make"] = dt + out["mg_make_s"]
 
 
 def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
@@ -711,11 +748,23 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
                 x, x_prev, xi, xi_prev, path, params, f, g, bc_dofs, aux
             )
 
-    def body1k(J_total_T, diag, rhs, bc_dofs, st, mst):
+    use_state = mg is not None and getattr(mg, "recursive", False)
+
+    def body_mk(J_total_T, diag, bc_dofs, st, mst):
+        # adjoint hierarchy state: the TRANSPOSED cycle's Galerkin /
+        # lmax / Newton-Schulz arrays (mirrored u/p sweep, p first)
+        with disc.bind(st), mg.bind(mst):
+            return linear_mod.mg_make_state(
+                lin_cfg, J_total_T, disc, diag, bc_dofs, mg,
+                transpose=True,
+            )
+
+    def body1k(J_total_T, diag, rhs, bc_dofs, st, mst, mg_state):
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
             return adj.step_krylov(
-                J_total_T, diag, rhs, bc_dofs, return_iters=True
+                J_total_T, diag, rhs, bc_dofs, return_iters=True,
+                mg_state=mg_state,
             )
 
     def body2(x, x_prev, xi, xi_prev, path, params, solved, st):
@@ -734,13 +783,26 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     jf1 = jax.jit(body1)
     jfk = jax.jit(body1k, donate_argnums=(0, 1, 2))
     jf2 = jax.jit(body2, donate_argnums=(6,))
+    jfmk = jax.jit(body_mk) if use_state else None
     a1 = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0,
           jnp.asarray(bc_dofs), hoist, mg_hoist)
     report_mem(body1, a1, out, tag="_blocks", jitted=jf1)
     b1 = jf1(*a1)
     jax.block_until_ready(b1)
     J_T, diag_a, rhs, B0, g_modT, dJ_dp = b1
-    ak = (J_T, diag_a, rhs, jnp.asarray(bc_dofs), hoist, mg_hoist)
+    mg_state = None
+    if use_state:
+        amk = (J_T, diag_a, jnp.asarray(bc_dofs), hoist, mg_hoist)
+        report_mem(body_mk, amk, out, tag="_mgmake", jitted=jfmk)
+        mg_state = jfmk(*amk)  # warmup/compile
+        jax.block_until_ready(mg_state)
+        t0 = time.perf_counter()
+        mg_state = jfmk(*amk)
+        jax.block_until_ready(mg_state)
+        out["mg_make_s"] = time.perf_counter() - t0
+        del amk
+    ak = (J_T, diag_a, rhs, jnp.asarray(bc_dofs), hoist, mg_hoist,
+          mg_state)
     report_mem(body1k, ak, out, tag="_solve", jitted=jfk)
     z, relres, ki = jfk(*ak)
     jax.block_until_ready(z)
@@ -762,7 +824,7 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     def run_once():
         J_T, diag_a, rhs, B0, g_modT, dJ_dp = jf1(*a1)
         z, relres, _ = jfk(J_T, diag_a, rhs, jnp.asarray(bc_dofs), hoist,
-                           mg_hoist)
+                           mg_hoist, mg_state)
         res = jf2(x, x_prev, loc.xi, xi_prev, loc.path, params,
                   (z, relres, B0, g_modT, dJ_dp), hoist)
         jax.block_until_ready(res)
@@ -777,9 +839,12 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
     out["solve_relres"] = float(res.relres)
-    out["split_programs"] = 3
+    out["split_programs"] = 4 if use_state else 3
     if mg is not None:
         out["preconditioner"] = "multigrid"
+    if use_state:
+        out["precond_reuse"] = "state"
+        out["seconds_incl_mg_make"] = dt + out["mg_make_s"]
 
 
 def _make_adjoint_fn(prob, dtype_str, hoist=None, mg=None):

@@ -185,9 +185,11 @@ class Adjoint:
         )
 
     def step_krylov(self, J_total_T, diag, rhs, bc_dofs,
-                    return_iters: bool = False):
+                    return_iters: bool = False, mg_state=None):
         """The transposed Krylov solve (MG make + GMRES), program 2 of
-        the scale three-way split."""
+        the scale three-way split.  mg_state (from
+        linear.mg_make_state(..., transpose=True)) hoists the MG
+        hierarchy build into its own program — preconditioner lag."""
         return linear_mod.solve_info(
             self.linear_cfg,
             J_total_T,
@@ -198,6 +200,7 @@ class Adjoint:
             transpose=True,
             mg=getattr(self, "mg_factory", None),
             return_iters=return_iters,
+            mg_state=mg_state,
         )
 
     def step_solve(

@@ -693,10 +693,23 @@ class AMGPrecondFactory:
         lv1 = self.levels[0]
         return lv1.agg_prev, lv1.P, lv1.n
 
-    def make(self, J_e, diag, bc_dofs, op=None, transpose=False):
+    def make(self, J_e, diag, bc_dofs, op=None, transpose=False,
+             state=None, capture=None):
         """Preconditioner callable for one assembled element-Jacobian
         state (called once per Newton step; all index maps are static,
-        so this is a few einsums + segment_sums under jit)."""
+        so this is a few einsums + segment_sums under jit).
+
+        state/capture mirror MGPrecondFactory.make's preconditioner-
+        state split signature so linear.solve_info can pass them
+        uniformly; the AMG hierarchy has no state split yet (its
+        setup is einsums + segment_sums, not the geometric chain's
+        Galerkin/power-iteration/Newton-Schulz code that hit the
+        executable ceiling), so a non-None state is an error."""
+        if state is not None or capture is not None:
+            raise NotImplementedError(
+                "AMGPrecondFactory has no preconditioner-state split; "
+                "build without mg_state"
+            )
         disc = self.disc
         d = self.d
         m = self.m

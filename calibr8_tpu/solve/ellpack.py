@@ -280,6 +280,34 @@ class LevelEllOperator:
             self._blk = None
             self.A_T = A_T
 
+    @classmethod
+    def from_assembled(cls, A_T, nbr, K, n_nodes, m):
+        """Rebuild the operator from a previously assembled (and, on
+        the Pallas path, already padded) `self.A_T` — the multigrid
+        preconditioner-state path (mg.make_state / make(state=...)):
+        the apply program takes the level values as a jit argument
+        instead of re-running the element-block scatter per solve."""
+        self = cls.__new__(cls)
+        self.nbr = nbr
+        self.K = K
+        self.n_nodes = n_nodes
+        self.m = m
+        # same Pallas-vs-einsum decision as __init__ (state is built
+        # and consumed on the same backend under the same env)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and A_T.dtype != jnp.float64
+            and os.environ.get("CALIBR8_ELL_PALLAS", "1") != "0"
+        )
+        if use_pallas:
+            self.N_pad = A_T.shape[-1]
+            self._blk = _pick_block(self.N_pad)
+        else:
+            self.N_pad = None
+            self._blk = None
+        self.A_T = A_T
+        return self
+
     def __call__(self, v):
         X = v.reshape(self.n_nodes, self.m)
         Xp = jnp.concatenate(
@@ -389,6 +417,9 @@ def _make_kernel(K, ndpn, N_pad, dtype, block_n, transpose=False):
         ],
         out_specs=out_spec,
         out_shape=out_shape,
+        # CPU parity tests exercise the identical kernel off-TPU
+        # (mirrors the dist assembly kernel's knob, parallel/dist.py)
+        interpret=os.environ.get("CALIBR8_PALLAS_INTERPRET") == "1",
     )
 
 

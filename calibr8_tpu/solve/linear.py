@@ -62,6 +62,34 @@ def solve(
     return solve_info(cfg, J_e, disc, diag, b, bc_dofs, transpose, mg)[0]
 
 
+def mg_make_state(cfg, J_e, disc, diag, bc_dofs, mg, transpose=False):
+    """Build the multigrid hierarchy state for solve_info(mg_state=...)
+    with the SAME operator construction solve_info uses (transpose
+    swap + assembled-ELL fine apply), so the state program can run as
+    its own jit: the Galerkin/lmax/Newton-Schulz code leaves the
+    Krylov executable and the rebuild amortizes across Newton
+    iterations (preconditioner lag — the MueLu reuse discipline,
+    linear_solve.cpp:36-123)."""
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+
+    trailing = jac_is_trailing(J_e, disc)
+    if transpose:
+        op_e = J_e.swapaxes(0, 1) if trailing else J_e.swapaxes(-1, -2)
+    else:
+        op_e = J_e
+    if cfg.operator != "ebe" and jax.default_backend() == "tpu":
+        from calibr8_tpu.solve.ellpack import EllOperator
+
+        op = EllOperator(disc, J_e, diag, bc_dofs, transpose=transpose)
+    else:
+
+        def op(v):
+            out = ebe_matvec_disc(op_e, disc, v)
+            return apply_dbcs_matvec(out, diag, v, bc_dofs)
+
+    return mg.make_state(op_e, diag, bc_dofs, op, transpose=transpose)
+
+
 def solve_info(
     cfg: LinearCfg,
     J_e,
@@ -72,6 +100,7 @@ def solve_info(
     transpose: bool = False,
     mg=None,
     return_iters: bool = False,
+    mg_state=None,
 ):
     """Solve J x = b with Dirichlet rows replaced by diag * x_row = b_row.
 
@@ -154,8 +183,12 @@ def solve_info(
             return apply_dbcs_matvec(out, diag, v, bc_dofs)
 
     if mg is not None:
-        # geometric multigrid V-cycle (the MueLu AMG analog, solve/mg.py)
-        M = mg.make(op_e, diag, bc_dofs, op, transpose=transpose)
+        # geometric multigrid V-cycle (the MueLu AMG analog, solve/mg.py);
+        # mg_state (from mg_make_state) hoists the hierarchy build out
+        # of this program — preconditioner lag + executable-size split
+        M = mg.make(
+            op_e, diag, bc_dofs, op, transpose=transpose, state=mg_state
+        )
     elif cfg.preconditioner == "block_gs":
         from calibr8_tpu.solve.precond import BlockJacobiGS
 

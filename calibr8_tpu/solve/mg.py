@@ -43,27 +43,13 @@ from calibr8_tpu.solve.precond import node_block_diagonal
 from calibr8_tpu.utils.smallsolve import gauss_solve
 
 
-def _coarse_dense_solver(A, ns_iters: int = 40):
-    """Direct solver for the dense coarse system, picked per backend:
-
-    * CPU: LAPACK LU (fast there);
-    * TPU: explicit inverse by NEWTON-SCHULZ iteration
-      X <- X (2I - A X) = X + X R, X0 = A^T / (||A||_1 ||A||_inf) —
-      pure MXU matmuls (LU's sequential triangular factor/solves
-      measured ~6 s per Newton step on v5e), quadratically convergent,
-      and the apply is one matvec, trivially a fixed linear operator.
-      The loop EXITS EARLY on ||I - A X||_F (quadratic convergence
-      reaches the dtype floor in ~10-20 iterations on well-scaled
-      coarse ops; the fixed 35-iteration unroll was pure overhead).
-
-    A weak iterative coarse solve (Chebyshev) loses the V-cycle's
-    h-independence (measured 41 -> 101 iterations under one refinement)
-    — the coarse LOW modes are exactly what multigrid exists to kill,
-    so the coarse solve must be accurate."""
+def _coarse_dense_state(A, ns_iters: int = 40):
+    """Factorization-as-arrays for the dense coarse solve: the LU pair
+    on CPU, the Newton-Schulz explicit inverse on TPU (see
+    _coarse_dense_solver).  The returned pytree is reusable across
+    Newton iterations (mg.make_state preconditioner lag)."""
     if jax.default_backend() != "tpu":
-        lu = jax.scipy.linalg.lu_factor(A)
-        return lambda b: jax.scipy.linalg.lu_solve(lu, b)
-
+        return jax.scipy.linalg.lu_factor(A)
     n = A.shape[0]
     a1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
     ainf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
@@ -85,7 +71,34 @@ def _coarse_dense_solver(A, ns_iters: int = 40):
     X, _, _ = jax.lax.while_loop(
         cond, body, (X0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     )
-    return lambda b: X @ b
+    return X
+
+
+def _coarse_apply(st):
+    """Coarse-solve closure from a _coarse_dense_state pytree."""
+    if jax.default_backend() != "tpu":
+        return lambda b: jax.scipy.linalg.lu_solve(st, b)
+    return lambda b: st @ b
+
+
+def _coarse_dense_solver(A, ns_iters: int = 40):
+    """Direct solver for the dense coarse system, picked per backend:
+
+    * CPU: LAPACK LU (fast there);
+    * TPU: explicit inverse by NEWTON-SCHULZ iteration
+      X <- X (2I - A X) = X + X R, X0 = A^T / (||A||_1 ||A||_inf) —
+      pure MXU matmuls (LU's sequential triangular factor/solves
+      measured ~6 s per Newton step on v5e), quadratically convergent,
+      and the apply is one matvec, trivially a fixed linear operator.
+      The loop EXITS EARLY on ||I - A X||_F (quadratic convergence
+      reaches the dtype floor in ~10-20 iterations on well-scaled
+      coarse ops; the fixed 35-iteration unroll was pure overhead).
+
+    A weak iterative coarse solve (Chebyshev) loses the V-cycle's
+    h-independence (measured 41 -> 101 iterations under one refinement)
+    — the coarse LOW modes are exactly what multigrid exists to kill,
+    so the coarse solve must be accurate."""
+    return _coarse_apply(_coarse_dense_state(A, ns_iters))
 
 
 def composite_parents(refine_chain):
@@ -584,12 +597,26 @@ class MGPrecondFactory:
             )
         self._pairs = pairs
 
-    def _make_recursive(self, J_e, diag, bc_dofs, op=None, transpose=False):
+    def _make_recursive(self, J_e, diag, bc_dofs, op=None, transpose=False,
+                        state=None, capture=None):
         """Recursive multilevel V-cycle over the refinement chain;
         Chebyshev smoothing per level, EBE Galerkin coarse operators,
         dense base solve.  Pressure gets its own scalar chain through
         the same transfers (the diagonal-only p treatment is
-        h-dependent — measured on the AMG path)."""
+        h-dependent — measured on the AMG path).
+
+        state/capture implement the PRECONDITIONER-STATE split (the
+        MueLu reuse discipline, linear_solve.cpp:36-123): the heavy
+        per-Jacobian arrays — level Galerkin products (assembled to
+        node-block ELL values), node-block diagonal inverses, power-
+        iteration spectral bounds, and the Newton-Schulz coarse
+        inverses — form a pytree built ONCE per hierarchy rebuild
+        (make_state) and passed back as jit arguments (make(state=)).
+        The Krylov program then contains only the cycle applies: the
+        Galerkin/lmax/NS code (~0.8 GB generated TPU code at 1.5M
+        elements, scripts/ablate_code_size.py) leaves the solve
+        executable, and the rebuild cost amortizes across Newton
+        iterations (preconditioner lag)."""
         from calibr8_tpu.solve.amg import _chebyshev, _power_lmax
 
         # code-size attribution knobs (compile-only ablations against
@@ -750,36 +777,82 @@ class MGPrecondFactory:
 
             return jax.lax.fori_loop(0, nchunks, body, out)
 
-        def mk_level_u(JT, pr):
+        def mk_level_u(JT, pr, st=None):
+            """Level u-block operator + Chebyshev smoother.  st=None
+            computes the per-Jacobian arrays (assembled ELL values or
+            the raw Galerkin blocks, node-block diagonal inverse,
+            power-iteration lmax) and returns them as the third value;
+            st given rebuilds the closures from those arrays alone."""
             conn = pr["parent_conn"]
             n_nodes = pr["n_parent_nodes"]
             nde_u = npe * d
+            from calibr8_tpu.solve.ellpack import LevelEllOperator
 
-            if _level_ell_enabled():
-                # assembled node-block ELL apply: ONE Pallas custom
-                # call per matvec.  The unrolled EBE form below
-                # compiles to ~150 fused element-length vector ops,
-                # and a V-cycle instantiates a level matvec at every
-                # smoother/residual site of every Krylov inline copy
-                # (~0.5 GB of TPU code per cycle at 1.5M elements —
-                # over the ~2 GB executable-load ceiling); it also
-                # pays the element scatter every apply.
-                from calibr8_tpu.solve.ellpack import LevelEllOperator
+            if st is None:
+                st = {}
+                if _level_ell_enabled():
+                    # assembled node-block ELL apply: ONE Pallas custom
+                    # call per matvec.  The unrolled EBE form below
+                    # compiles to ~150 fused element-length vector ops,
+                    # and a V-cycle instantiates a level matvec at every
+                    # smoother/residual site of every Krylov inline copy
+                    # (~0.5 GB of TPU code per cycle at 1.5M elements —
+                    # over the ~2 GB executable-load ceiling); it also
+                    # pays the element scatter every apply.
+                    st["A_T"] = LevelEllOperator(
+                        JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
+                        n_nodes, d,
+                    ).A_T
+                    st["JT"] = None
+                else:
+                    st["A_T"] = None
+                    st["JT"] = JT
 
-                op_l = LevelEllOperator(
-                    JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
-                    n_nodes, d,
+                blocks = jnp.zeros((n_nodes, d, d), JT.dtype)
+                for l in range(npe):
+                    blk = jnp.stack(
+                        [
+                            jnp.stack(
+                                [JT[l * d + q, l * d + r2] for r2 in range(d)],
+                                0,
+                            )
+                            for q in range(d)
+                        ],
+                        0,
+                    )  # (d, d, E)
+                    blocks = blocks.at[conn[:, l]].add(
+                        jnp.moveaxis(blk, -1, 0)
+                    )
+                dg = jnp.abs(
+                    jnp.diagonal(blocks, axis1=1, axis2=2)
                 )
+                fix = (dg < 1e-30).astype(JT.dtype)
+                blocks = blocks + fix[:, :, None] * jnp.eye(d, dtype=JT.dtype)
+                st["Binv"] = gauss_solve(
+                    blocks,
+                    jnp.broadcast_to(
+                        jnp.eye(d, dtype=JT.dtype), blocks.shape
+                    ),
+                    pivot=True,
+                )
+
+            if st["A_T"] is not None:
+                op_l = LevelEllOperator.from_assembled(
+                    st["A_T"], pr["ell_nbr"], pr["ell_K"], n_nodes, d
+                )
+                dtype_l = st["A_T"].dtype
             else:
+                JT_l = st["JT"]
+                dtype_l = JT_l.dtype
 
                 def op_l(v):
                     V = v.reshape(n_nodes, d)
                     v_eT = V[conn].reshape(-1, nde_u).T
                     rows = []
                     for i in range(nde_u):
-                        acc = JT[i, 0] * v_eT[0]
+                        acc = JT_l[i, 0] * v_eT[0]
                         for j in range(1, nde_u):
-                            acc = acc + JT[i, j] * v_eT[j]
+                            acc = acc + JT_l[i, j] * v_eT[j]
                         rows.append(acc)
                     Y = jax.ops.segment_sum(
                         jnp.stack(rows, 0).T.reshape(-1, d),
@@ -788,81 +861,80 @@ class MGPrecondFactory:
                     )
                     return Y.reshape(-1)
 
-            blocks = jnp.zeros((n_nodes, d, d), JT.dtype)
-            for l in range(npe):
-                blk = jnp.stack(
-                    [
-                        jnp.stack(
-                            [JT[l * d + q, l * d + r2] for r2 in range(d)], 0
-                        )
-                        for q in range(d)
-                    ],
-                    0,
-                )  # (d, d, E)
-                blocks = blocks.at[conn[:, l]].add(
-                    jnp.moveaxis(blk, -1, 0)
-                )
-            dg = jnp.abs(
-                jnp.diagonal(blocks, axis1=1, axis2=2)
-            )
-            fix = (dg < 1e-30).astype(JT.dtype)
-            blocks = blocks + fix[:, :, None] * jnp.eye(d, dtype=JT.dtype)
-            Binv = gauss_solve(
-                blocks,
-                jnp.broadcast_to(jnp.eye(d, dtype=JT.dtype), blocks.shape),
-                pivot=True,
-            )
+            Binv = st["Binv"]
 
             def dinv(r):
                 return jnp.einsum(
                     "nij,nj->ni", Binv, r.reshape(n_nodes, d)
                 ).reshape(-1)
 
-            lmax = _mk_lmax(op_l, dinv, n_nodes * d, JT.dtype)
-            smooth = _mk_cheb(op_l, dinv, lmax)
-            return op_l, smooth
+            if "lmax" not in st:
+                st["lmax"] = _mk_lmax(op_l, dinv, n_nodes * d, dtype_l)
+            smooth = _mk_cheb(op_l, dinv, st["lmax"])
+            return op_l, smooth, st
 
         # build the u chain: Galerkin down the pairs (level 0 through
         # the lazy masked accessor; deeper levels are 8x smaller per
         # step and slice their materialized parent blocks)
         L = len(self._pairs)
-        jt_l = jt0
-        jt_sl_l = fu["jt_mask_slice"]
-        E_ch_l = disc.n_elem
-        J_l = None
-        level_ops = []  # (op_l, smooth_l) for levels 1..L-1
-        for l in range(L):
-            pr = self._pairs[l]
-            J_l = galerkin_u(jt_l, jt_sl_l, pr, E_ch_l)
-            jt_l = lambda i, j, J=J_l: J[i, j]
-            jt_sl_l = (
-                lambda i, j, s, c, J=J_l: jax.lax.dynamic_slice_in_dim(
-                    J[i, j], s, c, 0
-                )
-            )
-            E_ch_l = pr["n_parent_elems"]
-            if l < L - 1:
-                level_ops.append(mk_level_u(J_l, pr))
-
-        # coarsest (base mesh): dense from the EBE blocks
+        nde_u = npe * d
         pr_last = self._pairs[-1]
         n_b = pr_last["n_parent_nodes"]
         conn_b = pr_last["parent_conn"]
-        nde_u = npe * d
-        edofs_b = (
-            conn_b[:, :, None] * d + jnp.arange(d)[None, None, :]
-        ).reshape(-1, nde_u)
-        flat = (
-            edofs_b[:, :, None] * (n_b * d) + edofs_b[:, None, :]
-        ).reshape(-1)
-        A_b = jax.ops.segment_sum(
-            jnp.moveaxis(J_l, -1, 0).reshape(-1),
-            flat,
-            num_segments=(n_b * d) * (n_b * d),
-        ).reshape(n_b * d, n_b * d)
-        dgb = jnp.diagonal(A_b)
-        A_b = A_b + jnp.diag(jnp.where(jnp.abs(dgb) < 1e-12, 1.0, 0.0))
-        coarse_solve = _mk_coarse(A_b)
+        level_ops = []  # (op_l, smooth_l) for levels 1..L-1
+        if state is not None:
+            for l in range(L - 1):
+                op_l, smooth_l, _ = mk_level_u(
+                    None, self._pairs[l], st=state["u"][l]
+                )
+                level_ops.append((op_l, smooth_l))
+            coarse_st = state["Xb"]
+        else:
+            jt_l = jt0
+            jt_sl_l = fu["jt_mask_slice"]
+            E_ch_l = disc.n_elem
+            J_l = None
+            u_states = []
+            for l in range(L):
+                pr = self._pairs[l]
+                J_l = galerkin_u(jt_l, jt_sl_l, pr, E_ch_l)
+                jt_l = lambda i, j, J=J_l: J[i, j]
+                jt_sl_l = (
+                    lambda i, j, s, c, J=J_l: jax.lax.dynamic_slice_in_dim(
+                        J[i, j], s, c, 0
+                    )
+                )
+                E_ch_l = pr["n_parent_elems"]
+                if l < L - 1:
+                    op_l, smooth_l, st_l = mk_level_u(J_l, pr)
+                    level_ops.append((op_l, smooth_l))
+                    u_states.append(st_l)
+
+            # coarsest (base mesh): dense from the EBE blocks
+            edofs_b = (
+                conn_b[:, :, None] * d + jnp.arange(d)[None, None, :]
+            ).reshape(-1, nde_u)
+            flat = (
+                edofs_b[:, :, None] * (n_b * d) + edofs_b[:, None, :]
+            ).reshape(-1)
+            A_b = jax.ops.segment_sum(
+                jnp.moveaxis(J_l, -1, 0).reshape(-1),
+                flat,
+                num_segments=(n_b * d) * (n_b * d),
+            ).reshape(n_b * d, n_b * d)
+            dgb = jnp.diagonal(A_b)
+            A_b = A_b + jnp.diag(
+                jnp.where(jnp.abs(dgb) < 1e-12, 1.0, 0.0)
+            )
+            coarse_st = (
+                None if "nocoarse" in _ablate else _coarse_dense_state(A_b)
+            )
+            if capture is not None:
+                capture["u"] = u_states
+                capture["Xb"] = coarse_st
+        coarse_solve = (
+            (lambda r: r) if coarse_st is None else _coarse_apply(coarse_st)
+        )
 
         # fine-level Chebyshev (matches the level smoothers)
         Bu_inv = fu["Bu_inv"]
@@ -872,7 +944,12 @@ class MGPrecondFactory:
                 "nij,nj->ni", Bu_inv, r.reshape(disc.n_nodes, d)
             ).reshape(-1)
 
-        lmax_f = _mk_lmax(op_u, fine_dinv, disc.n_dofs_u, dtype)
+        if state is not None:
+            lmax_f = state["lmax_f"]
+        else:
+            lmax_f = _mk_lmax(op_u, fine_dinv, disc.n_dofs_u, dtype)
+            if capture is not None:
+                capture["lmax_f"] = lmax_f
         fine_smooth = _mk_cheb(op_u, fine_dinv, lmax_f)
 
         def restrict_pair(pr, r):
@@ -957,27 +1034,45 @@ class MGPrecondFactory:
                 rows.append(jnp.stack(cols, 0))
             return jnp.stack(rows, 0)
 
-        def mk_level_p(JT, pr):
+        def mk_level_p(JT, pr, st=None):
+            """Scalar analog of mk_level_u (same state discipline)."""
             conn = pr["parent_conn"]
             n_nodes = pr["n_parent_nodes"]
+            from calibr8_tpu.solve.ellpack import LevelEllOperator
 
-            if _level_ell_enabled():
-                # same node-pair maps as the u chain, scalar blocks
-                from calibr8_tpu.solve.ellpack import LevelEllOperator
+            if st is None:
+                st = {}
+                if _level_ell_enabled():
+                    # same node-pair maps as the u chain, scalar blocks
+                    st["A_T"] = LevelEllOperator(
+                        JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
+                        n_nodes, 1,
+                    ).A_T
+                    st["JT"] = None
+                else:
+                    st["A_T"] = None
+                    st["JT"] = JT
+                dgv = jnp.zeros(n_nodes, JT.dtype)
+                for l in range(npe):
+                    dgv = dgv.at[conn[:, l]].add(JT[l, l])
+                st["dgv"] = jnp.where(jnp.abs(dgv) > 1e-30, dgv, 1.0)
 
-                op_l = LevelEllOperator(
-                    JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
-                    n_nodes, 1,
+            if st["A_T"] is not None:
+                op_l = LevelEllOperator.from_assembled(
+                    st["A_T"], pr["ell_nbr"], pr["ell_K"], n_nodes, 1
                 )
+                dtype_l = st["A_T"].dtype
             else:
+                JT_l = st["JT"]
+                dtype_l = JT_l.dtype
 
                 def op_l(v):
                     V = v[conn].T  # (npe, E)
                     rows = []
                     for i in range(npe):
-                        acc = JT[i, 0] * V[0]
+                        acc = JT_l[i, 0] * V[0]
                         for j in range(1, npe):
-                            acc = acc + JT[i, j] * V[j]
+                            acc = acc + JT_l[i, j] * V[j]
                         rows.append(acc)
                     return jax.ops.segment_sum(
                         jnp.stack(rows, 0).T.reshape(-1),
@@ -985,38 +1080,59 @@ class MGPrecondFactory:
                         num_segments=n_nodes,
                     )
 
-            dgv = jnp.zeros(n_nodes, JT.dtype)
-            for l in range(npe):
-                dgv = dgv.at[conn[:, l]].add(JT[l, l])
-            dgv = jnp.where(jnp.abs(dgv) > 1e-30, dgv, 1.0)
+            dgv = st["dgv"]
 
             def dinv(r):
                 return r / dgv
 
-            lmax = _mk_lmax(op_l, dinv, n_nodes, JT.dtype)
-            smooth = _mk_cheb(op_l, dinv, lmax)
-            return op_l, smooth
+            if "lmax" not in st:
+                st["lmax"] = _mk_lmax(op_l, dinv, n_nodes, dtype_l)
+            smooth = _mk_cheb(op_l, dinv, st["lmax"])
+            return op_l, smooth, st
 
-        jp_l = jp0
-        Jp_l = None
         p_level_ops = []
-        for l in range(L):
-            pr = self._pairs[l]
-            Jp_l = galerkin_p(jp_l, pr)
-            jp_l = lambda i, j, J=Jp_l: J[i, j]
-            if l < L - 1:
-                p_level_ops.append(mk_level_p(Jp_l, pr))
-        flat_p = (
-            conn_b[:, :, None] * n_b + conn_b[:, None, :]
-        ).reshape(-1)
-        A_bp = jax.ops.segment_sum(
-            jnp.moveaxis(Jp_l, -1, 0).reshape(-1),
-            flat_p,
-            num_segments=n_b * n_b,
-        ).reshape(n_b, n_b)
-        dgp = jnp.diagonal(A_bp)
-        A_bp = A_bp + jnp.diag(jnp.where(jnp.abs(dgp) < 1e-12, 1.0, 0.0))
-        p_coarse_solve = _mk_coarse(A_bp)
+        if state is not None:
+            for l in range(L - 1):
+                op_l, smooth_l, _ = mk_level_p(
+                    None, self._pairs[l], st=state["p"][l]
+                )
+                p_level_ops.append((op_l, smooth_l))
+            p_coarse_st = state["Xbp"]
+        else:
+            jp_l = jp0
+            Jp_l = None
+            p_states = []
+            for l in range(L):
+                pr = self._pairs[l]
+                Jp_l = galerkin_p(jp_l, pr)
+                jp_l = lambda i, j, J=Jp_l: J[i, j]
+                if l < L - 1:
+                    op_l, smooth_l, st_l = mk_level_p(Jp_l, pr)
+                    p_level_ops.append((op_l, smooth_l))
+                    p_states.append(st_l)
+            flat_p = (
+                conn_b[:, :, None] * n_b + conn_b[:, None, :]
+            ).reshape(-1)
+            A_bp = jax.ops.segment_sum(
+                jnp.moveaxis(Jp_l, -1, 0).reshape(-1),
+                flat_p,
+                num_segments=n_b * n_b,
+            ).reshape(n_b, n_b)
+            dgp = jnp.diagonal(A_bp)
+            A_bp = A_bp + jnp.diag(
+                jnp.where(jnp.abs(dgp) < 1e-12, 1.0, 0.0)
+            )
+            p_coarse_st = (
+                None if "nocoarse" in _ablate else _coarse_dense_state(A_bp)
+            )
+            if capture is not None:
+                capture["p"] = p_states
+                capture["Xbp"] = p_coarse_st
+        p_coarse_solve = (
+            (lambda r: r)
+            if p_coarse_st is None
+            else _coarse_apply(p_coarse_st)
+        )
 
         conn = disc.conn
 
@@ -1031,10 +1147,18 @@ class MGPrecondFactory:
             )
 
             maps_f = build_ell_maps(disc)
-            p_ell = LevelEllOperator(
-                J_pp, maps_f["nbr"], maps_f["ell_ids_T"], maps_f["K"],
-                disc.n_nodes, 1,
-            )
+            if state is not None:
+                p_ell = LevelEllOperator.from_assembled(
+                    state["p_ell_A_T"], maps_f["nbr"], maps_f["K"],
+                    disc.n_nodes, 1,
+                )
+            else:
+                p_ell = LevelEllOperator(
+                    J_pp, maps_f["nbr"], maps_f["ell_ids_T"], maps_f["K"],
+                    disc.n_nodes, 1,
+                )
+                if capture is not None:
+                    capture["p_ell_A_T"] = p_ell.A_T
 
             def op_p(v):
                 return jnp.where(bc_p, diag_p * v, p_ell(v))
@@ -1059,7 +1183,12 @@ class MGPrecondFactory:
         def p_fine_dinv(r):
             return r / app
 
-        lmax_p = _mk_lmax(op_p, p_fine_dinv, disc.n_dofs - n_u, dtype)
+        if state is not None:
+            lmax_p = state["lmax_p"]
+        else:
+            lmax_p = _mk_lmax(op_p, p_fine_dinv, disc.n_dofs - n_u, dtype)
+            if capture is not None:
+                capture["lmax_p"] = lmax_p
         p_fine_smooth = _mk_cheb(op_p, p_fine_dinv, lmax_p)
 
         def p_restrict_pair(pr, r):
@@ -1142,15 +1271,37 @@ class MGPrecondFactory:
         return Rc.reshape(-1)
 
     # -- per-Jacobian construction ----------------------------------------
-    def make(self, J_e, diag, bc_dofs, op=None, transpose=False):
+    def make_state(self, J_e, diag, bc_dofs, op=None, transpose=False):
+        """Heavy per-Jacobian arrays of the recursive cycle as a
+        pytree: level Galerkin products (assembled node-block ELL
+        values), node-block diagonal inverses, Chebyshev spectral
+        bounds, and the Newton-Schulz coarse inverses.  Build this in
+        its OWN jit program, then pass it to make(state=...) inside
+        the Krylov program — the preconditioner-lag / executable-size
+        split (the reference's MueLu reuse knobs,
+        linear_solve.cpp:36-123).  Returns None for the non-recursive
+        2-level factory (its make() is cheap: one Galerkin pass)."""
+        if not self.recursive:
+            return None
+        cap = {}
+        self._make_recursive(
+            J_e, diag, bc_dofs, op, transpose=transpose, capture=cap
+        )
+        return cap
+
+    def make(self, J_e, diag, bc_dofs, op=None, transpose=False,
+             state=None):
         """Build the preconditioner callable for one assembled state.
 
         J_e: element Jacobians, elem-first (n_e, nde, nde) or trailing
         (nde, nde, E_pad).  `op` (the full assembled matvec) is used,
-        when given, as the fine-level u-block apply."""
+        when given, as the fine-level u-block apply.  `state` (from
+        make_state) short-circuits the heavy per-Jacobian computation
+        — the returned M then rebuilds its closures from those arrays
+        alone (recursive chain only)."""
         if self.recursive:
             return self._make_recursive(
-                J_e, diag, bc_dofs, op, transpose=transpose
+                J_e, diag, bc_dofs, op, transpose=transpose, state=state
             )
         disc = self.disc
         d = self.d

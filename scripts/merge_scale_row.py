@@ -71,6 +71,14 @@ def main():
         "phase_isolated": True,
         "device": ad["device"],
     }
+    # preconditioner-state split (mg.make_state): per-solve hierarchy
+    # rebuild reported separately from the lagged steady-state step
+    for src, pre in ((nw, "newton_"), (ad, "adjoint_")):
+        for k in ("mg_make_s", "seconds_incl_mg_make", "solve_iters"):
+            if k in src:
+                out[pre + k] = src[k]
+        if "precond_reuse" in src:
+            out[pre + "precond_reuse"] = src["precond_reuse"]
     peak = max(p.get("hbm_peak_bytes", 0) for p in phases.values())
     if peak:
         out["hbm_peak_bytes"] = peak

@@ -1,12 +1,13 @@
 """MG preconditioner cost breakdown on the TPU bench problem.
 
 Splits the newton_mg step into:
-  * hierarchy build (MGPrecondFactory.make: Galerkin coarse ops +
-    Newton-Schulz coarse inverse), and
-  * one V-cycle apply,
-by timing make+k applies for k in {1, 2, 6} with the scan harness and
-fitting the line.  Guides whether a preconditioner-lag (freeze the
-hierarchy across Newton iterations) is worth building.
+  * hierarchy-state build (mg.make_state: Galerkin coarse ops, level
+    ELL assembly, power-iteration lmax, Newton-Schulz coarse inverse),
+  * closure rebuild + one V-cycle apply (mg.make(state=...) + M(v)),
+by timing state-build and state+k applies for k in {1, 2, 6} with the
+scan harness and fitting the line.  Decides the preconditioner-lag
+payoff (MueLu reuse discipline, linear_solve.cpp:36-123) and where the
+per-Krylov-iteration time goes.
 
 Usage (TPU):
   PYTHONPATH=/root/repo:$PYTHONPATH CALIBR8_X64=0 \
@@ -31,6 +32,7 @@ def main():
     import jax.numpy as jnp
 
     import bench
+    from calibr8_tpu.solve import linear as linear_mod
 
     prob = bench.build_problem(n, dtype_str, refinements=refs)
     disc = prob.disc
@@ -44,42 +46,66 @@ def main():
 
     out = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
 
-    # assemble once (eager, jitted) to get J_e/diag for the breakdown
-    @jax.jit
-    def asm(st, x, x_prev, xi_prev, params):
-        with disc.bind(st):
-            s = prob.step_solver
-            return s._assemble(
-                x, x_prev, xi_prev, params, bc_dofs, bc_vals,
-                jnp.zeros_like(x),
-            )
+    # assemble once through the same path the bench uses (the Pallas
+    # fast path needs its PREPARED element state threaded as aux)
+    fn, aux = bench.make_assemble_raw(prob, hoist=hoist)
 
-    base = asm(hoist, x, x_prev, xi_prev, params)
-    J_e, diag = base["J_e"], base["diag"]
+    @jax.jit
+    def asm(st, x, x_prev, xi_prev, params, aux):
+        with disc.bind(st):
+            R, J_e, diag, xi, path, nfail = fn(
+                x, x_prev, xi_prev, params, aux
+            )
+        return J_e, diag
+
+    J_e, diag = asm(hoist, x, x_prev, xi_prev, params, aux)
+    jax.block_until_ready((J_e, diag))
     v0 = jnp.ones((disc.n_dofs,), disc.dtype)
+    cfg = linear_mod.LinearCfg(method="gmres", tol=1e-4)
+    use_state = getattr(mg, "recursive", False)
+
+    if use_state:
+        # hierarchy-state build alone (its own program, as in the
+        # three-program split benches)
+        def build_state(J_e, diag, st, mst):
+            with disc.bind(st), mg.bind(mst):
+                return linear_mod.mg_make_state(
+                    cfg, J_e, disc, diag, bc_dofs, mg
+                )
+
+        out["make_state_s"] = bench.timeit_scan(
+            build_state, (J_e, diag, hoist, mg_hoist), 5,
+            lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0],
+        )
+        print(json.dumps({"make_state_s": out["make_state_s"]}), flush=True)
+        jst = jax.jit(build_state)(J_e, diag, hoist, mg_hoist)
+        jax.block_until_ready(jst)
+    else:
+        jst = None
 
     def make_applies(k):
-        def fn(v, J_e, diag, st, mst):
+        def body(v, J_e, diag, st, mst, mg_state):
             with disc.bind(st), mg.bind(mst):
-                M = mg.make(J_e, diag, bc_dofs, None)
+                M = mg.make(J_e, diag, bc_dofs, None, state=mg_state)
                 for _ in range(k):
                     v = M(v)
                 return v
-        return fn
+
+        return body
 
     ts = {}
     for k in (1, 2, 6):
-        fn = make_applies(k)
+        body = make_applies(k)
         dt = bench.timeit_scan(
-            fn, (v0, J_e, diag, hoist, mg_hoist), 5, lambda o: o.ravel()[0]
+            body, (v0, J_e, diag, hoist, mg_hoist, jst), 5,
+            lambda o: o.ravel()[0],
         )
         ts[k] = dt
-        print(json.dumps({f"make_plus_{k}_applies_s": dt}), flush=True)
+        print(json.dumps({f"rebuild_plus_{k}_applies_s": dt}), flush=True)
 
     apply_s = (ts[6] - ts[1]) / 5.0
-    make_s = ts[1] - apply_s
     out["vcycle_apply_s"] = apply_s
-    out["hierarchy_make_s"] = make_s
+    out["closure_rebuild_s"] = ts[1] - apply_s
 
     # ELL matvec (the other per-Krylov-iteration cost)
     from calibr8_tpu.solve.ellpack import EllOperator

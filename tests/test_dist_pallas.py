@@ -69,3 +69,43 @@ def test_dist_pallas_assembly_matches_dist_xla(monkeypatch):
         jj1, jj0, atol=5e-7 * max(np.abs(jj0).max(), 1e-12)
     )
     assert int(nf0) == int(nf1) == 0
+
+
+def test_dist_ell_trailing_pallas_matvec_matches_einsum(monkeypatch):
+    """The TPU dist Krylov apply (ell_trailing + ell_matvec_T: padded
+    trailing blocks through the Pallas lane-FMA kernel inside
+    shard_map) against the row-layout einsum apply (ell_matvec) in
+    interpret mode — the path bench.run_dist_overhead and the dist
+    solve take on hardware (it shipped broken once: pallas_call's
+    missing vma annotation trips shard_map's check_vma)."""
+    assert jax.device_count() >= 8
+    deck = make_deck(
+        {"type": "notch2D", "h": 0.22}, "small_J2", J2_MAT, BCS_2D(0.001), 2
+    )
+    prob = Problem(load_deck(deck))
+    disc = prob.disc
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(1e-3 * rng.standard_normal(disc.n_dofs))
+    xp = jnp.asarray(1e-4 * rng.standard_normal(disc.n_dofs))
+    xi_prev = jnp.tile(
+        jnp.asarray(prob.assembler.model.init_xi())[None, :],
+        (disc.n_elem, 1),
+    )
+
+    ctx = DistContext(prob, n_parts=8)
+    Xd = ctx.to_dist(x)
+    _, J_T, *_ = ctx.assemble(
+        Xd, ctx.to_dist(xp), ctx.to_dist_elem(np.asarray(xi_prev)),
+        prob.params0,
+    )
+    A_ell = ctx.ell_assemble(J_T)
+    v = ctx.to_dist(jnp.asarray(rng.standard_normal(disc.n_dofs)))
+
+    y0 = np.asarray(ctx.from_dist(ctx.ell_matvec(A_ell, v)))
+
+    monkeypatch.setenv("CALIBR8_PALLAS_INTERPRET", "1")
+    A_T = ctx.ell_trailing(A_ell)
+    y1 = np.asarray(ctx.from_dist(ctx.ell_matvec_T(A_T, v)))
+
+    s = max(np.abs(y0).max(), 1e-12)
+    np.testing.assert_allclose(y1, y0, atol=1e-9 * s)
