@@ -1289,11 +1289,19 @@ def run_mode(mode, dtype_str, n, model=None):
         _bench_newton_split(prob, nwt, dtype_str, 3, hoist)
         out["newton_seconds"] = nwt["seconds"]
         out["newton_solve_relres"] = nwt["solve_relres"]
+        for k in ("solve_iters", "mg_make_s", "seconds_incl_mg_make",
+                  "precond_reuse"):
+            if k in nwt:
+                out["newton_" + k] = nwt[k]
         adjd = {}
         _bench_adjoint_split(
             prob, adjd, dtype_str, 3, hoist, prob.mg_factory
         )
         out["adjoint_seconds"] = adjd["seconds"]
+        out["adjoint_solve_relres"] = adjd["solve_relres"]
+        for k in ("mg_make_s", "seconds_incl_mg_make", "precond_reuse"):
+            if k in adjd:
+                out["adjoint_" + k] = adjd[k]
         out["adjoint_dof_per_s_per_chip"] = disc.n_dofs / adjd["seconds"]
         # north star: adjoint < 2 s/step at 10M DOF (BASELINE.md:53-59).
         # Per-step cost is ~linear in DOFs past 1M (assembly, EBE

@@ -272,6 +272,8 @@ class ProblemSpec:
             out["method"] = la["method"]
         if "preconditioner" in la:
             out["preconditioner"] = la["preconditioner"]
+        if "preconditioner reuse" in la:
+            out["preconditioner reuse"] = str(la["preconditioner reuse"])
         if "tolerance" in la:
             out["tolerance"] = float(la["tolerance"])
         if "maximum iterations" in la:

@@ -760,8 +760,11 @@ class DistContext:
             x, it, stag, _ = c
             r = b - op(x)
             rn = jnp.sqrt(jnp.vdot(r, r).real)
-            # in-cycle target one digit below atol — see solve/linear.py
-            dy, _, _ = gmres_cycle(opM, r, restart, 0.1 * atol)
+            # in-cycle target one digit below atol; after a no-progress
+            # cycle the next runs FULL LENGTH (the optimistic-estimate
+            # stall fix) — see solve/linear.py
+            cyc_atol = jnp.where(stag > 0, 0.0, 0.1 * atol)
+            dy, _, _ = gmres_cycle(opM, r, restart, cyc_atol)
             cand = x + M(dy)
             rn_new = jnp.sqrt(
                 jnp.vdot(b - op(cand), b - op(cand)).real

@@ -162,6 +162,7 @@ class Problem:
                 method=la["method"],
                 tol=la["tolerance"],
                 max_iters=la["maximum iterations"],
+                precond_reuse=la.get("preconditioner reuse", "none"),
             ),
             line_search=_ls_params(gr.get("line search", {})),
         )

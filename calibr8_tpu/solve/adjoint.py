@@ -216,7 +216,26 @@ class Adjoint:
         J_total_T, diag, rhs, B, g_modT, dJ_dp = self.step_blocks(
             x, x_prev, xi, xi_prev, path, params_all, f, g, bc_dofs, aux
         )
-        z, relres = self.step_krylov(J_total_T, diag, rhs, bc_dofs)
+        mg_state = None
+        mg = getattr(self, "mg_factory", None)
+        if (
+            self.linear_cfg.precond_reuse == "step"
+            and mg is not None
+            and getattr(mg, "recursive", False)
+        ):
+            # deck 'preconditioner reuse: step': the TRANSPOSED
+            # hierarchy state builds outside the Krylov program — at
+            # scale this is what keeps the solve executable under the
+            # ~2 GB load ceiling (the adjoint solves once per time
+            # step, so there is no within-step amortization; the win
+            # here is the program split itself)
+            mg_state = linear_mod.mg_make_state(
+                self.linear_cfg, J_total_T, self.assembler.disc, diag,
+                bc_dofs, mg, transpose=True,
+            )
+        z, relres = self.step_krylov(
+            J_total_T, diag, rhs, bc_dofs, mg_state=mg_state
+        )
         return z, relres, B, g_modT, dJ_dp
 
     def step_post(

@@ -46,6 +46,15 @@ class LinearCfg:
     # (scatter-free matvec, ~3x faster per iteration; solve/ellpack.py),
     # 'ebe' forces the matrix-free element-by-element apply
     operator: str = "auto"
+    # multigrid hierarchy reuse (the MueLu reuse discipline,
+    # linear_solve.cpp:36-123): 'none' rebuilds the hierarchy inside
+    # every Krylov solve; 'step' builds it ONCE per Newton step from
+    # the first Jacobian (mg.make_state) and lags it across the step's
+    # iterations — the fine-level operator stays current, only the
+    # coarse Galerkin/spectral-bound/coarse-inverse arrays lag, so
+    # convergence is checked against the TRUE residual as always.
+    # Deck: linear algebra: {preconditioner reuse: step}
+    precond_reuse: str = "none"
 
 
 def solve(
@@ -258,8 +267,16 @@ def solve_info(
         # and degrades cross-path reproducibility (dist-vs-single
         # parity measured 1.06e-9 at tol 1e-10 when exiting at atol);
         # the pre-floor early exit still saves the wasted tail of a
-        # full fixed-length cycle
-        dy, _, k_used = gmres_cycle(opM, r, restart, 0.1 * atol)
+        # full fixed-length cycle.  After a NO-PROGRESS cycle the next
+        # one runs FULL LENGTH (early exit off): near the f32 floor the
+        # Givens recurrence estimate goes optimistic as the CGS2 basis
+        # degrades, so a re-entered cycle exits immediately with no
+        # true-residual drop and the stag counter ends the solve a
+        # digit short (the 1.1M-DOF adjoint gave up at 2.1e-4 against
+        # tol 1e-4 this way); a full cycle re-orthogonalizes from the
+        # true residual and usually buys the remaining digit.
+        cyc_atol = jnp.where(stag > 0, 0.0, 0.1 * atol)
+        dy, _, k_used = gmres_cycle(opM, r, restart, cyc_atol)
         cand = x + M(dy)
         rn_new = jnp.linalg.norm(b - op(cand))
         better = jnp.isfinite(rn_new) & (rn_new < rn)

@@ -146,8 +146,28 @@ class StepSolver:
             -base["R"],
             bc_dofs,
             mg=getattr(self, "mg_factory", None),
+            mg_state=getattr(self, "_mg_state", None),
         )
         return self._check_linear(dx, relres)
+
+    def _maybe_build_mg_state(self, base, bc_dofs):
+        """Preconditioner reuse (deck 'preconditioner reuse: step' —
+        the MueLu reuse discipline, linear_solve.cpp:36-123): build the
+        multigrid hierarchy state ONCE per Newton step from the base
+        Jacobian and lag it across the step's iterations.  The fine
+        operator stays current and GMRES checks the TRUE residual, so
+        lag only affects iteration counts, never correctness."""
+        self._mg_state = None
+        mg = getattr(self, "mg_factory", None)
+        if (
+            self.cfg.linear.precond_reuse == "step"
+            and mg is not None
+            and getattr(mg, "recursive", False)
+        ):
+            self._mg_state = linear_mod.mg_make_state(
+                self.cfg.linear, base["J_e"], self.assembler.disc,
+                base["diag"], bc_dofs, mg,
+            )
 
     def _check_linear(self, dx, relres):
         """Belos-status-check analog (linear_solve.cpp:106-123): a
@@ -198,6 +218,8 @@ class StepSolver:
             raise NewtonSolveError(
                 f"primal step {step}: local solve failed at the base point"
             )
+        with timers.phase("primal/mg_state"):
+            self._maybe_build_mg_state(base, bc_dofs)
 
         converged = False
         resid_norm_0 = 1.0

@@ -159,3 +159,40 @@ def test_dist_adjoint_amg_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g0), atol=1e-9 * max(scale, 1.0)
     )
+
+
+def test_adjoint_precond_reuse_step_matches_none():
+    """Adjoint sweep with 'preconditioner reuse: step' (the transposed
+    hierarchy state built outside the Krylov program — at scale this
+    is what splits the solve executable under the load ceiling) must
+    reproduce the reuse-none gradient."""
+    deck = make_deck(
+        {"type": "notch2D", "h": 0.3, "refinements": 3},
+        "small_J2",
+        J2_MAT,
+        BCS_2D(0.001),
+        1,
+    )
+    deck["linear algebra"] = {
+        "preconditioner": "multigrid",
+        "method": "gmres",
+        "tolerance": 1e-10,
+    }
+    prob = Problem(load_deck(deck))
+    assert getattr(prob.mg_factory, "recursive", False)
+    traj = prob.solve_primal()
+    grads = {}
+    for reuse in ("none", "step"):
+        cfg = dataclasses.replace(
+            prob.step_solver.cfg.linear, tol=1e-10, precond_reuse=reuse
+        )
+        adj = Adjoint(
+            prob.assembler, prob.qoi, prob.dbcs, cfg,
+            mg_factory=prob.mg_factory,
+        )
+        g, _ = adj.sweep(traj, prob.params0, prob.time_grid)
+        grads[reuse] = np.asarray(g)
+    scale = max(np.abs(grads["none"]).max(), 1.0)
+    np.testing.assert_allclose(
+        grads["step"], grads["none"], atol=1e-9 * scale
+    )

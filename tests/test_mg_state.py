@@ -167,3 +167,40 @@ def test_mg_state_lagged_solve_converges(setup):
         cfg, J_e, disc, diag, b, bc_dofs, mg=mg, mg_state=state
     )
     assert float(rr) < 1e-7, f"lagged-M solve stalled: relres {float(rr)}"
+
+
+def test_precond_reuse_step_matches_none():
+    """Deck 'preconditioner reuse: step' (hierarchy built once per
+    Newton step from the base Jacobian, lagged across its iterations —
+    the MueLu reuse discipline) must converge the same primal to the
+    same state: lag changes Krylov iteration counts only, never the
+    solution (GMRES checks the true residual)."""
+    states = {}
+    for reuse in ("none", "step"):
+        deck = make_deck(
+            {"type": "notch2D", "h": 0.25, "refinements": 3},
+            "small_J2",
+            J2_MAT,
+            BCS_2D(0.001),
+            1,
+        )
+        deck["linear algebra"] = {
+            "preconditioner": "multigrid",
+            "method": "gmres",
+            "preconditioner reuse": reuse,
+        }
+        prob = Problem(load_deck(deck))
+        assert prob.step_solver.cfg.linear.precond_reuse == reuse
+        x0, xi0, _ = prob.primal.initial_state()
+        bc_dofs, bc_vals = prob.dbcs.arrays(prob.time_grid.time(1), 1)
+        ext = jnp.zeros(prob.disc.n_dofs, prob.disc.dtype)
+        x, xi, path, info = prob.step_solver.solve_at_step(
+            x0, x0, xi0, prob.params0, bc_dofs, bc_vals, ext, step=1
+        )
+        if reuse == "step":
+            assert prob.step_solver._mg_state is not None
+        states[reuse] = np.asarray(x)
+    s = max(np.abs(states["none"]).max(), 1e-12)
+    np.testing.assert_allclose(
+        states["step"], states["none"], atol=1e-8 * s
+    )
