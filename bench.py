@@ -1368,7 +1368,9 @@ def _summary_row(key, d):
     for k in (
         "n_dofs", "seconds", "gdof_per_s", "solve_relres", "stalled",
         "newton_seconds", "newton_solve_relres", "newton_stalled",
+        "newton_solve_iters", "newton_mg_make_s",
         "adjoint_seconds", "adjoint_solve_relres", "adjoint_stalled",
+        "adjoint_mg_make_s",
         "adjoint_s_per_step_at_10M_dof_extrapolated",
         "seconds_per_eval", "n_evals", "pallas_speedup",
         "useful_bw_fraction_pallas",

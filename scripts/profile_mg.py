@@ -107,6 +107,35 @@ def main():
     out["vcycle_apply_s"] = apply_s
     out["closure_rebuild_s"] = ts[1] - apply_s
 
+    # apply-cost attribution via the trace-time ablation knobs
+    # (CALIBR8_MG_ABLATE, solve/mg.py): each setting re-traces a
+    # 2-apply body; (full - ablated)/2 per-apply attributes the piece.
+    # state is rebuilt per setting — nosmooth/nolmax change which
+    # state entries exist.
+    if use_state:
+        for abl in ("nosmooth", "nop", "nocoarse"):
+            os.environ["CALIBR8_MG_ABLATE"] = abl
+            try:
+                jst_a = jax.jit(build_state)(J_e, diag, hoist, mg_hoist)
+                jax.block_until_ready(jst_a)
+
+                def body2(v, J_e, diag, st, mst, mg_state):
+                    with disc.bind(st), mg.bind(mst):
+                        M = mg.make(J_e, diag, bc_dofs, None, state=mg_state)
+                        return M(M(v))
+
+                dt = bench.timeit_scan(
+                    body2, (v0, J_e, diag, hoist, mg_hoist, jst_a), 5,
+                    lambda o: o.ravel()[0],
+                )
+                key = f"apply2_{abl}_s"
+                out[key] = dt
+                print(json.dumps({key: dt}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                out[f"apply2_{abl}_error"] = repr(e)[:200]
+            finally:
+                os.environ.pop("CALIBR8_MG_ABLATE", None)
+
     # ELL matvec (the other per-Krylov-iteration cost)
     from calibr8_tpu.solve.ellpack import EllOperator
 
