@@ -48,6 +48,8 @@ def main():
         "n_elem": int(disc.n_elem),
         "n_dofs": int(disc.n_dofs),
         "setup_s": round(time.perf_counter() - t0, 1),
+        "cheb_degree": int(os.environ.get("CALIBR8_MG_CHEB_DEGREE", 6)),
+        "restart": int(os.environ.get("CALIBR8_BENCH_RESTART", 50)),
     }
     print(json.dumps(out), flush=True)
 
