@@ -180,6 +180,27 @@ def _finish_refine(mesh, coords, node_parents, uniq, fine_conn, elem_parent):
         for name, idx in mesh.elem_sets.items()
     }
 
+    # -- lattice renumbering ------------------------------------------
+    # The append-midpoints numbering above destroys the constant
+    # neighbor-offset structure of refined builtin cubes/squares: node
+    # i's neighbors land at O(n) distinct offsets, so the ELL stencil
+    # canonicalization (solve/ellpack.ell_maps_from_conn) — which turns
+    # the Krylov matvec's neighbor gather into static slices — can
+    # never fire on the scale-bench refinement chains.  When the fine
+    # nodes form a full regular lattice, renumber lexicographically
+    # (x fastest): connectivity from refining a structured mesh is then
+    # translation-invariant and the stencil path applies at every MG
+    # level.  All consumers index node_parents/coords/conn by fine node
+    # id, so the permutation is transparent.
+    order = _lattice_order(coords)
+    if order is not None:
+        old2new = np.empty(coords.shape[0], dtype=np.int64)
+        old2new[order] = np.arange(coords.shape[0])
+        coords = coords[order]
+        fine_conn = old2new[fine_conn]
+        node_parents = node_parents[order]
+        node_sets = {k: old2new[v] for k, v in node_sets.items()}
+
     fine = Mesh(
         dim=dim,
         coords=coords,
@@ -190,6 +211,41 @@ def _finish_refine(mesh, coords, node_parents, uniq, fine_conn, elem_parent):
         fields={},
     )
     return Refinement(fine=fine, node_parents=node_parents, elem_parent=elem_parent)
+
+
+def _lattice_order(coords: np.ndarray):
+    """Old-id order (new_id -> old_id) for lexicographic (…, z, y, x)
+    numbering when the nodes form a FULL regular lattice — the refined
+    builtin cube/square chains.  Returns None otherwise (unstructured
+    meshes keep the append-midpoints numbering)."""
+    n, dim = coords.shape
+    idx = []
+    sizes = []
+    for d in range(dim):
+        c = coords[:, d]
+        lo, span = c.min(), c.max() - c.min()
+        if span <= 0.0:
+            return None
+        # quantize against float fuzz (midpoints are exact averages of
+        # generator linspace values; 2^-40 of the bbox is far below any
+        # real node spacing)
+        q = np.round((c - lo) / span * (1 << 40)).astype(np.int64)
+        u = np.unique(q)
+        idx.append(np.searchsorted(u, q))
+        sizes.append(len(u))
+    total = 1
+    for s in sizes:
+        total *= s
+    if total != n:
+        return None
+    key = idx[dim - 1]
+    for d in range(dim - 2, -1, -1):
+        key = key * sizes[d] + idx[d]
+    # bijection onto the full grid (counts match + keys unique)
+    order = np.argsort(key)
+    if len(np.unique(key)) != n:
+        return None
+    return order
 
 
 def _edge_id(uniq: np.ndarray, a: int, b: int) -> int:

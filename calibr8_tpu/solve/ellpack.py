@@ -61,13 +61,37 @@ def ell_maps_from_conn(conn, n_nodes):
     key = i.astype(np.int64) * n_nodes + j
     uniq, inv = np.unique(key, return_inverse=True)
     u_i = (uniq // n_nodes).astype(np.int64)
+    u_j = (uniq % n_nodes).astype(np.int64)
     # slot of each unique pair within its row (uniq is sorted by (i, j))
     row_start = np.searchsorted(u_i, np.arange(n_nodes))
     slot = np.arange(len(uniq)) - row_start[u_i]
     K = int(slot.max()) + 1
 
+    # -- stencil canonicalization -------------------------------------
+    # On structured meshes (the builtin cubes/squares and their nested
+    # refinements — every scale-bench level) each neighbor sits at one
+    # of a few dozen constant index OFFSETS.  Re-assigning slots by
+    # GLOBAL offset rank makes every ELL slot a constant SHIFT of the
+    # node vector, so the apply-side neighbor gather — whose (n, K, m)
+    # result tile-pads ~42x on TPU (minor dims (K, m)) and whose row
+    # gather lowers element-at-a-time — becomes K static slices of one
+    # zero-padded vector (classic stencil form, see gather_T).  Slots
+    # a node's boundary leaves empty keep the sentinel nbr and a ZERO
+    # A-block (assembly never scatters there), so the shifted reads
+    # they see are annihilated.  Unstructured meshes (imported .smb /
+    # notch) blow the distinct-offset bound and keep the dense slot
+    # packing + gather path.
+    offsets = None
+    if os.environ.get("CALIBR8_ELL_STENCIL", "1") != "0":
+        off = u_j - u_i
+        d_offs = np.unique(off)
+        if len(d_offs) <= max(int(1.5 * K) + 4, 16):
+            slot = np.searchsorted(d_offs, off)
+            K = len(d_offs)
+            offsets = d_offs.astype(np.int64)
+
     nbr = np.full((n_nodes, K), n_nodes, dtype=np.int32)  # dummy pad
-    nbr[u_i, slot] = (uniq % n_nodes).astype(np.int32)
+    nbr[u_i, slot] = u_j.astype(np.int32)
     # flat ELL position per element entry (e, a, b)
     ell_idx = (u_i * K + slot)[inv].astype(np.int32).reshape(n_e, npe, npe)
     # slot-major flat position (assemble_ell_T's scatter target order)
@@ -98,7 +122,39 @@ def ell_maps_from_conn(conn, n_nodes):
     return dict(
         nbr=nbr, ell_idx=ell_idx, ell_idx_T=ell_idx_T,
         ell_ids_T=ell_ids_T, ell_ids_T_swap=ell_ids_T_swap, K=K,
+        offsets=offsets,
     )
+
+
+def gather_T(X, nbr, n_nodes, m, offsets=None):
+    """Node matrix (n_nodes, m) -> neighbor values (K, m, n_nodes) in
+    the ELL kernels' trailing G_T layout.
+
+    `offsets` (stencil maps, ell_maps_from_conn): K STATIC slices of
+    the zero-padded transposed node matrix — no gather and no
+    (n, K, m) intermediate.  That intermediate is the measured fine-
+    matvec killer on TPU: its minor dims (K, m) tile-pad to (32, 128)
+    — ~42x HBM traffic at m=3 — and the row gather itself lowers
+    element-at-a-time; slices + one stack are pure full-bandwidth
+    copies.  Boundary-missing slots read a neighboring node's value
+    (or pad zero) and are annihilated by their zero A-blocks."""
+    # CALIBR8_ELL_STENCIL=0 at apply time A/Bs the two forms on the
+    # SAME canonicalized maps (slot layout serves both paths)
+    if offsets is not None and os.environ.get(
+        "CALIBR8_ELL_STENCIL", "1"
+    ) != "0":
+        X_T = X.T  # (m, n)
+        maxo = int(max(-int(offsets[0]), int(offsets[-1]), 0))
+        Xp = jnp.pad(X_T, ((0, 0), (maxo, maxo)))
+        parts = [
+            jax.lax.slice_in_dim(
+                Xp, maxo + int(o), maxo + int(o) + n_nodes, axis=1
+            )
+            for o in offsets
+        ]
+        return jnp.stack(parts, axis=0)
+    Xp = jnp.concatenate([X, jnp.zeros((1, m), X.dtype)], axis=0)
+    return jnp.moveaxis(Xp[nbr], 0, -1)
 
 
 def assemble_ell(J_e, disc):
@@ -256,16 +312,16 @@ class LevelEllOperator:
     code per cycle at 1.5M elements, tripping the ~2 GB executable
     load ceiling); the Pallas apply is ONE custom call."""
 
-    def __init__(self, JT, nbr, ids, K, n_nodes, m):
+    def __init__(self, JT, nbr, ids, K, n_nodes, m, offsets=None):
         npe = JT.shape[0] // m
         A_T = assemble_ell_T_blocks(JT, ids, K, n_nodes, npe, m)
         self.nbr = nbr
+        self.offsets = offsets
         self.K = K
         self.n_nodes = n_nodes
         self.m = m
-        on_tpu = jax.default_backend() == "tpu"
         use_pallas = (
-            on_tpu
+            _pallas_backend()
             and A_T.dtype != jnp.float64
             and os.environ.get("CALIBR8_ELL_PALLAS", "1") != "0"
         )
@@ -281,7 +337,7 @@ class LevelEllOperator:
             self.A_T = A_T
 
     @classmethod
-    def from_assembled(cls, A_T, nbr, K, n_nodes, m):
+    def from_assembled(cls, A_T, nbr, K, n_nodes, m, offsets=None):
         """Rebuild the operator from a previously assembled (and, on
         the Pallas path, already padded) `self.A_T` — the multigrid
         preconditioner-state path (mg.make_state / make(state=...)):
@@ -289,13 +345,14 @@ class LevelEllOperator:
         instead of re-running the element-block scatter per solve."""
         self = cls.__new__(cls)
         self.nbr = nbr
+        self.offsets = offsets
         self.K = K
         self.n_nodes = n_nodes
         self.m = m
         # same Pallas-vs-einsum decision as __init__ (state is built
         # and consumed on the same backend under the same env)
         use_pallas = (
-            jax.default_backend() == "tpu"
+            _pallas_backend()
             and A_T.dtype != jnp.float64
             and os.environ.get("CALIBR8_ELL_PALLAS", "1") != "0"
         )
@@ -310,14 +367,10 @@ class LevelEllOperator:
 
     def __call__(self, v):
         X = v.reshape(self.n_nodes, self.m)
-        Xp = jnp.concatenate(
-            [X, jnp.zeros((1, self.m), X.dtype)], axis=0
-        )
-        G = Xp[self.nbr]  # (n, K, m)
-        G_T = jnp.moveaxis(G, 0, -1)  # (K, m, n)
+        G_T = gather_T(X, self.nbr, self.n_nodes, self.m, self.offsets)
         if self._blk is not None:
             fwd_call, bwd_call = _kernel_pair(
-                self.K, self.m, self.N_pad, G.dtype, self._blk
+                self.K, self.m, self.N_pad, G_T.dtype, self._blk
             )
             G_T = jnp.pad(
                 G_T, ((0, 0), (0, 0), (0, self.N_pad - self.n_nodes))
@@ -337,6 +390,17 @@ class LevelEllOperator:
 
 
 # -- the scatter-free matvec ---------------------------------------------
+
+
+def _pallas_backend():
+    """The kernel-path gate.  CALIBR8_ELL_FORCE_PALLAS=1 (with
+    CALIBR8_PALLAS_INTERPRET=1) lets the CPU suite execute the exact
+    TPU kernel branches — a NameError in the LevelEllOperator kernel
+    branch once shipped through a fully-green CPU run because nothing
+    off-TPU ever entered it."""
+    return jax.default_backend() == "tpu" or os.environ.get(
+        "CALIBR8_ELL_FORCE_PALLAS"
+    ) == "1"
 
 
 def _pick_block(n: int):
@@ -443,7 +507,7 @@ class EllOperator:
     """y = A x with Dirichlet rows diag * x (built once per Jacobian)."""
 
     def __init__(self, disc, J_e, diag, bc_dofs, transpose=False):
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = _pallas_backend()
         if transpose and not on_tpu:
             # CPU path: transpose each element block BEFORE assembly
             # (the TPU path folds the transpose into the scatter ids —
@@ -470,6 +534,7 @@ class EllOperator:
             # path on every cube mesh).
             self.N_pad = _pad128(n)
             self._blk = _pick_block(self.N_pad)
+            self.offsets = build_ell_maps(disc).get("offsets")
             A_T, nbr = assemble_ell_T(J_e, disc, transpose=transpose)
             self.A_T = jnp.pad(
                 A_T, ((0, 0), (0, 0), (0, 0), (0, self.N_pad - n))
@@ -489,6 +554,7 @@ class EllOperator:
         else:
             self._blk = None
             self.N_pad = None
+            self.offsets = None
             A, nbr = assemble_ell(J_e, disc)
             self.A = A
             self.K = A.shape[1]
@@ -499,19 +565,20 @@ class EllOperator:
 
         disc = self.disc
         X = disc.nodemat(v)  # (n_nodes, ndpn)
-        Xp = jnp.concatenate(
-            [X, jnp.zeros((1, self.ndpn), X.dtype)], axis=0
-        )
-        G = Xp[self.nbr]  # (n_nodes, K, ndpn)
+        if self.N_pad is not None:
+            # trailing layout (TPU): stencil slices on structured
+            # meshes, neighbor gather otherwise (gather_T)
+            G_T = gather_T(
+                X, self.nbr, self.n_nodes, self.ndpn, self.offsets
+            )
         if self._blk is not None:
             fwd_call, bwd_call = _kernel_pair(
-                self.K, self.ndpn, self.N_pad, G.dtype, self._blk
+                self.K, self.ndpn, self.N_pad, X.dtype, self._blk
             )
             # linear_call provides the transpose rule
             # lax.custom_linear_solve (jax gmres) requires at trace time
             from jax import custom_derivatives as _cd
 
-            G_T = jnp.moveaxis(G, 0, -1)  # (K, ndpn, n)
             G_T = jnp.pad(
                 G_T, ((0, 0), (0, 0), (0, self.N_pad - self.n_nodes))
             )
@@ -524,12 +591,15 @@ class EllOperator:
             y = disc.nodemat_to_flat(Y_T[:, : self.n_nodes].T)
         elif self.N_pad is not None:
             # TPU f64: same trailing layout, XLA einsum apply
-            G_T = jnp.moveaxis(G, 0, -1)  # (K, ndpn, n)
             Y_T = jnp.einsum(
                 "sijn,sjn->in", self.A_T[..., : self.n_nodes], G_T
             )
             y = disc.nodemat_to_flat(Y_T.T)
         else:
+            Xp = jnp.concatenate(
+                [X, jnp.zeros((1, self.ndpn), X.dtype)], axis=0
+            )
+            G = Xp[self.nbr]  # (n_nodes, K, ndpn)
             y = disc.nodemat_to_flat(
                 jnp.einsum("nsij,nsj->ni", self.A, G)
             )

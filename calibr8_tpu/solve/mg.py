@@ -593,6 +593,8 @@ class MGPrecondFactory:
                     ell_nbr=jnp.asarray(pmaps["nbr"], jnp.int32),
                     ell_ids=jnp.asarray(pmaps["ell_ids_T"], jnp.int32),
                     ell_K=pmaps["K"],
+                    # host ints (static slice offsets) — never traced
+                    ell_offs=pmaps.get("offsets"),
                 )
             )
         self._pairs = pairs
@@ -801,7 +803,7 @@ class MGPrecondFactory:
                     # pays the element scatter every apply.
                     st["A_T"] = LevelEllOperator(
                         JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
-                        n_nodes, d,
+                        n_nodes, d, offsets=pr.get("ell_offs"),
                     ).A_T
                     st["JT"] = None
                 else:
@@ -838,7 +840,8 @@ class MGPrecondFactory:
 
             if st["A_T"] is not None:
                 op_l = LevelEllOperator.from_assembled(
-                    st["A_T"], pr["ell_nbr"], pr["ell_K"], n_nodes, d
+                    st["A_T"], pr["ell_nbr"], pr["ell_K"], n_nodes, d,
+                    offsets=pr.get("ell_offs"),
                 )
                 dtype_l = st["A_T"].dtype
             else:
@@ -1046,7 +1049,7 @@ class MGPrecondFactory:
                     # same node-pair maps as the u chain, scalar blocks
                     st["A_T"] = LevelEllOperator(
                         JT, pr["ell_nbr"], pr["ell_ids"], pr["ell_K"],
-                        n_nodes, 1,
+                        n_nodes, 1, offsets=pr.get("ell_offs"),
                     ).A_T
                     st["JT"] = None
                 else:
@@ -1059,7 +1062,8 @@ class MGPrecondFactory:
 
             if st["A_T"] is not None:
                 op_l = LevelEllOperator.from_assembled(
-                    st["A_T"], pr["ell_nbr"], pr["ell_K"], n_nodes, 1
+                    st["A_T"], pr["ell_nbr"], pr["ell_K"], n_nodes, 1,
+                    offsets=pr.get("ell_offs"),
                 )
                 dtype_l = st["A_T"].dtype
             else:
@@ -1150,12 +1154,12 @@ class MGPrecondFactory:
             if state is not None:
                 p_ell = LevelEllOperator.from_assembled(
                     state["p_ell_A_T"], maps_f["nbr"], maps_f["K"],
-                    disc.n_nodes, 1,
+                    disc.n_nodes, 1, offsets=maps_f.get("offsets"),
                 )
             else:
                 p_ell = LevelEllOperator(
                     J_pp, maps_f["nbr"], maps_f["ell_ids_T"], maps_f["K"],
-                    disc.n_nodes, 1,
+                    disc.n_nodes, 1, offsets=maps_f.get("offsets"),
                 )
                 if capture is not None:
                     capture["p_ell_A_T"] = p_ell.A_T

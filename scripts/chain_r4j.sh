@@ -41,11 +41,21 @@ if [ ! -f /tmp/scale_chain.log ]; then
 fi
 
 wait_tpu
-echo "$(ts) adjoint restart=100"
+echo "$(ts) adjoint restart=100 (stencil ELL)"
 timeout 10800 env CALIBR8_X64=0 CALIBR8_BENCH_RESTART=100 \
   python scripts/scale_probe.py adjoint 64 3 \
   >> /tmp/scale_chain.log 2> /tmp/adjoint_r4j.err
 echo "$(ts) adjoint rc=$?"
+tail -1 /tmp/scale_chain.log
+
+# newton under the stencil ELL apply (the captured 22.3 s row ran the
+# gather form; merge keeps whichever converged row is faster)
+wait_tpu
+echo "$(ts) newton (stencil ELL)"
+timeout 7200 env CALIBR8_X64=0 \
+  python scripts/scale_probe.py newton 64 3 \
+  >> /tmp/scale_chain.log 2> /tmp/newton_r4j.err
+echo "$(ts) newton rc=$?"
 tail -1 /tmp/scale_chain.log
 
 python scripts/merge_scale_row.py 64 \
