@@ -51,10 +51,15 @@ def _prolong_dofs(ref, u, neq):
 
 
 def _coarse_interp(ref, z_fine, n_coarse_nodes, neq):
-    """I_h z: restrict the fine field to coarse nodal values (fine node
-    i < n_coarse is coarse node i), then prolong back."""
+    """I_h z: restrict the fine field to coarse nodal values, then
+    prolong back.  Coarse vertices are identified by the node_parents
+    SELF-ROWS (parents (a, a) mean fine node i == coarse node a) — the
+    lattice renumbering in uniform_refine permutes fine ids, so fine
+    node i < n_coarse is NOT coarse node i in general."""
     Z = np.asarray(z_fine).reshape(-1, neq)
-    zc = Z[:n_coarse_nodes]
+    rows = ref.node_parents[:, 0] == ref.node_parents[:, 1]
+    zc = np.zeros((n_coarse_nodes, Z.shape[1]), dtype=Z.dtype)
+    zc[ref.node_parents[rows, 0]] = Z[rows]
     a = zc[ref.node_parents[:, 0]]
     b = zc[ref.node_parents[:, 1]]
     return jnp.asarray(0.5 * (a + b)).reshape(-1)

@@ -172,7 +172,12 @@ def test_tpu_kernel_branch_parity_interpreted(monkeypatch):
             disc.ndpn, offsets=maps["offsets"],
         )
         assert lvl._blk is not None
-        y_lvl = np.asarray(lvl(v32.reshape(-1)))
+        # LevelEllOperator works in node-interleaved (n_nodes, m) layout;
+        # convert the flat global vector in and the result back out
+        # before comparing to the flat-layout EBE reference
+        x_nm = jnp.asarray(disc.nodemat(v32)).reshape(-1)
+        y_nm = np.asarray(lvl(x_nm)).reshape(disc.n_nodes, disc.ndpn)
+        y_lvl = np.asarray(disc.nodemat_to_flat(jnp.asarray(y_nm)))
         y_nb = np.asarray(ebe_matvec_disc(J32, disc, v32))
         np.testing.assert_allclose(
             y_lvl, y_nb, atol=2e-4 * np.abs(y_nb).max()
