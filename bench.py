@@ -480,6 +480,16 @@ def _bench_assembly(prob, out, iters, with_roofline=True, hoist=None):
         out["useful_bytes"] = useful
         out["useful_bw_fraction_pallas"] = (useful / dt) / 819e9
         out["useful_bw_fraction_xla"] = (useful / dt_xla) / 819e9
+        # the BINDING roofline for the fused kernel is VPU compute,
+        # not HBM: the element math (local Newton + condensation) is
+        # all elementwise lane FMAs/transcendentals — ~4.9 GFLOP at
+        # 196k elems vs ~0.24 GB useful bytes, i.e. arithmetic
+        # intensity ~20 FLOP/B, an order past the v5e ridge point.
+        # v5e VPU peak ~1.9 TFLOP/s f32 (8x128 lanes, 2 FLOP/cycle,
+        # ~940 MHz); fraction uses the XLA-path flop count as the
+        # work lower bound for the same math.
+        out["vpu_gflop_per_s_pallas"] = flops / dt / 1e9
+        out["vpu_fraction_pallas"] = (flops / dt) / 1.9e12
     except Exception as e:  # noqa: BLE001
         out["xla_time_error"] = str(e)[-200:]
 

@@ -4,10 +4,19 @@ Splits the newton_mg step into:
   * hierarchy-state build (mg.make_state: Galerkin coarse ops, level
     ELL assembly, power-iteration lmax, Newton-Schulz coarse inverse),
   * closure rebuild + one V-cycle apply (mg.make(state=...) + M(v)),
-by timing state-build and state+k applies for k in {1, 2, 6} with the
-scan harness and fitting the line.  Decides the preconditioner-lag
-payoff (MueLu reuse discipline, linear_solve.cpp:36-123) and where the
-per-Krylov-iteration time goes.
+by timing state-build eagerly (it is a seconds-scale program — the
+~30 ms tunnel RTT is noise there) and state+k applies for k in {1, 6}
+with the scan harness and differencing the line.  Decides the
+preconditioner-lag payoff (MueLu reuse discipline,
+linear_solve.cpp:36-123) and where the per-Krylov-iteration time goes.
+
+Memory discipline (the round-5 lesson: the first cut of this script
+RESOURCE_EXHAUSTED the chip at n=32): every phase runs inside its own
+try/except and frees its device objects before the next phase; the
+make_state timing is eager (scanning a hierarchy build pins ~5x its
+output liveness); each ablation's state is deleted after its timing.
+Every phase flushes its own JSON line so a fault in one phase still
+leaves the earlier evidence.
 
 Usage (TPU):
   PYTHONPATH=/root/repo:$PYTHONPATH CALIBR8_X64=0 \
@@ -17,6 +26,7 @@ Usage (TPU):
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -34,7 +44,8 @@ def main():
     import bench
     from calibr8_tpu.solve import linear as linear_mod
 
-    prob = bench.build_problem(n, dtype_str, refinements=refs)
+    base_n = max(2, n >> refs) if refs else n
+    prob = bench.build_problem(base_n, dtype_str, refinements=refs)
     disc = prob.disc
     mg = prob.mg_factory
     hoist = disc.hoist_args(ell=True)
@@ -45,6 +56,7 @@ def main():
     bc_dofs, bc_vals = prob.dbcs.arrays(1.0)
 
     out = {"n_elem": int(disc.n_elem), "n_dofs": int(disc.n_dofs)}
+    print(json.dumps(out), flush=True)
 
     # assemble once through the same path the bench uses (the Pallas
     # fast path needs its PREPARED element state threaded as aux)
@@ -60,28 +72,38 @@ def main():
 
     J_e, diag = asm(hoist, x, x_prev, xi_prev, params, aux)
     jax.block_until_ready((J_e, diag))
+    del x, x_prev, xi_prev, aux, fn
     v0 = jnp.ones((disc.n_dofs,), disc.dtype)
     cfg = linear_mod.LinearCfg(method="gmres", tol=1e-4)
     use_state = getattr(mg, "recursive", False)
 
+    jst = None
     if use_state:
-        # hierarchy-state build alone (its own program, as in the
-        # three-program split benches)
         def build_state(J_e, diag, st, mst):
             with disc.bind(st), mg.bind(mst):
                 return linear_mod.mg_make_state(
                     cfg, J_e, disc, diag, bc_dofs, mg
                 )
 
-        out["make_state_s"] = bench.timeit_scan(
-            build_state, (J_e, diag, hoist, mg_hoist), 5,
-            lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0],
-        )
-        print(json.dumps({"make_state_s": out["make_state_s"]}), flush=True)
-        jst = jax.jit(build_state)(J_e, diag, hoist, mg_hoist)
-        jax.block_until_ready(jst)
-    else:
-        jst = None
+        try:
+            bs = jax.jit(build_state)
+            jst = bs(J_e, diag, hoist, mg_hoist)
+            jax.block_until_ready(jst)
+            # eager timing: seconds-scale program, RTT is noise
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jst2 = bs(J_e, diag, hoist, mg_hoist)
+                jax.block_until_ready(jst2)
+                reps.append(time.perf_counter() - t0)
+                del jst2
+            out["make_state_s"] = min(reps)
+            print(json.dumps({"make_state_s": out["make_state_s"]}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            out["make_state_error"] = repr(e)[:300]
+            print(json.dumps({"make_state_error": out["make_state_error"]}),
+                  flush=True)
 
     def make_applies(k):
         def body(v, J_e, diag, st, mst, mg_state):
@@ -94,36 +116,42 @@ def main():
         return body
 
     ts = {}
-    for k in (1, 2, 6):
-        body = make_applies(k)
-        dt = bench.timeit_scan(
-            body, (v0, J_e, diag, hoist, mg_hoist, jst), 5,
-            lambda o: o.ravel()[0],
-        )
-        ts[k] = dt
-        print(json.dumps({f"rebuild_plus_{k}_applies_s": dt}), flush=True)
+    for k in (1, 6):
+        try:
+            dt = bench.timeit_scan(
+                make_applies(k), (v0, J_e, diag, hoist, mg_hoist, jst), 5,
+                lambda o: o.ravel()[0],
+            )
+            ts[k] = dt
+            print(json.dumps({f"rebuild_plus_{k}_applies_s": dt}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            out[f"applies_{k}_error"] = repr(e)[:300]
+            print(json.dumps({f"applies_{k}_error": out[f"applies_{k}_error"]}),
+                  flush=True)
 
-    apply_s = (ts[6] - ts[1]) / 5.0
-    out["vcycle_apply_s"] = apply_s
-    out["closure_rebuild_s"] = ts[1] - apply_s
+    if 1 in ts and 6 in ts:
+        apply_s = (ts[6] - ts[1]) / 5.0
+        out["vcycle_apply_s"] = apply_s
+        out["closure_rebuild_s"] = ts[1] - apply_s
 
     # apply-cost attribution via the trace-time ablation knobs
     # (CALIBR8_MG_ABLATE, solve/mg.py): each setting re-traces a
     # 2-apply body; (full - ablated)/2 per-apply attributes the piece.
     # state is rebuilt per setting — nosmooth/nolmax change which
-    # state entries exist.
-    if use_state:
+    # state entries exist — and freed before the next one.
+    if use_state and jst is not None:
+        def body2(v, J_e, diag, st, mst, mg_state):
+            with disc.bind(st), mg.bind(mst):
+                M = mg.make(J_e, diag, bc_dofs, None, state=mg_state)
+                return M(M(v))
+
         for abl in ("nosmooth", "nop", "nocoarse"):
             os.environ["CALIBR8_MG_ABLATE"] = abl
+            jst_a = None
             try:
                 jst_a = jax.jit(build_state)(J_e, diag, hoist, mg_hoist)
                 jax.block_until_ready(jst_a)
-
-                def body2(v, J_e, diag, st, mst, mg_state):
-                    with disc.bind(st), mg.bind(mst):
-                        M = mg.make(J_e, diag, bc_dofs, None, state=mg_state)
-                        return M(M(v))
-
                 dt = bench.timeit_scan(
                     body2, (v0, J_e, diag, hoist, mg_hoist, jst_a), 5,
                     lambda o: o.ravel()[0],
@@ -133,7 +161,11 @@ def main():
                 print(json.dumps({key: dt}), flush=True)
             except Exception as e:  # noqa: BLE001
                 out[f"apply2_{abl}_error"] = repr(e)[:200]
+                print(json.dumps(
+                    {f"apply2_{abl}_error": out[f"apply2_{abl}_error"]}
+                ), flush=True)
             finally:
+                del jst_a
                 os.environ.pop("CALIBR8_MG_ABLATE", None)
 
     # ELL matvec (the other per-Krylov-iteration cost)
@@ -144,9 +176,12 @@ def main():
             op = EllOperator(disc, J_e, diag, bc_dofs)
             return op(v)
 
-    out["ell_build_plus_matvec_s"] = bench.timeit_scan(
-        mv, (v0, J_e, diag, hoist), 5, lambda o: o.ravel()[0]
-    )
+    try:
+        out["ell_build_plus_matvec_s"] = bench.timeit_scan(
+            mv, (v0, J_e, diag, hoist), 5, lambda o: o.ravel()[0]
+        )
+    except Exception as e:  # noqa: BLE001
+        out["ell_matvec_error"] = repr(e)[:200]
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out), flush=True)
 
