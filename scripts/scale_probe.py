@@ -23,6 +23,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 # lean Krylov basis at scale (see bench.py scale mode): restart=150
 # OOM'd the 1.1M-DOF adjoint compile by 77 MB of HBM
 os.environ.setdefault("CALIBR8_BENCH_RESTART", "50")
+# match bench.py scale mode: degree-2 smoothers (code-size ceiling AND
+# measured per-step optimum — deg-6 costs ~3x the smoother work per
+# V-cycle for only ~20% fewer Krylov iterations; the round-4 "0.77 vs
+# 1.58-1.99 s/iter" confusion was this default mismatch, not the ELL
+# apply form)
+os.environ.setdefault("CALIBR8_MG_CHEB_DEGREE", "2")
 # AOT memory accounting before the first run: an OOM'd/faulted run
 # still leaves the HBM evidence (bench.report_mem)
 os.environ.setdefault("CALIBR8_BENCH_MEMSTATS", "1")

@@ -75,14 +75,14 @@ stage_ab196() {
 stage_profile32() {
   echo "$(ts) === stage profile32 ==="
   run_probe 7200 /tmp/profile_mg_n32.log /tmp/profile_mg_n32.err \
-    CALIBR8_X64=0 python scripts/profile_mg.py 32 2
+    CALIBR8_X64=0 CALIBR8_MG_CHEB_DEGREE=2 python scripts/profile_mg.py 32 2
   cp /tmp/profile_mg_n32.log /root/repo/.bench_results/profile_mg_n32.log
 }
 
 stage_profile64() {
   echo "$(ts) === stage profile64 ==="
   run_probe 10800 /tmp/profile_mg_n64.log /tmp/profile_mg_n64.err \
-    CALIBR8_X64=0 python scripts/profile_mg.py 64 3
+    CALIBR8_X64=0 CALIBR8_MG_CHEB_DEGREE=2 python scripts/profile_mg.py 64 3
   cp /tmp/profile_mg_n64.log /root/repo/.bench_results/profile_mg_n64.log
 }
 
