@@ -638,6 +638,14 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
                 lin_cfg, J_e, disc, diag, bc_dofs, mg
             )
 
+    # HOST-ORCHESTRATED restarts (default at scale): the axon tunnel
+    # kills any single dispatch whose device execution passes ~50-60 s
+    # (worker crash; bisected by scripts/probe_long_dispatch.py), so
+    # the outer GMRES restart loop runs on host with each cycle its
+    # own program (linear.solve_cycle / host_restart_loop).  One cycle
+    # at restart<=50 stays well under the ceiling at 1.1M DOF.
+    host_cycles = os.environ.get("CALIBR8_HOST_CYCLES", "1") != "0"
+
     def body2(J_e, diag, R, x, bc_dofs, st, mst, mg_state):
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
@@ -647,12 +655,22 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
             )
         return x + dx, jnp.linalg.norm(R), relres, ki
 
+    def body2c(J_e, diag, R, z, stag, bc_dofs, st, mst, mg_state):
+        mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
+        with disc.bind(st), mg_ctx:
+            return linear_mod.solve_cycle(
+                lin_cfg, J_e, disc, diag, -R, z, stag, bc_dofs, mg=mg,
+                mg_state=mg_state,
+            )
+
     # donate J_e/diag/R into the solve program: each run_once builds
     # them fresh, and aliasing ~1.5 GB of element blocks into the
     # solve's workspace is the margin between loading and UNAVAILABLE
-    # at 1.1M DOF on a 16 GB chip
+    # at 1.1M DOF on a 16 GB chip.  (Host-cycle mode cannot donate —
+    # every cycle re-reads the blocks.)
     jf1 = jax.jit(body1)
-    jf2 = jax.jit(body2, donate_argnums=(0, 1, 2))
+    jf2 = (jax.jit(body2c) if host_cycles
+           else jax.jit(body2, donate_argnums=(0, 1, 2)))
     jfmk = jax.jit(body_mk) if use_state else None
     a1 = (x, x_prev, xi_prev, params, bc_dofs, bc_vals, hoist, aux)
     report_mem(body1, a1, out, tag="_asm", jitted=jf1)
@@ -669,33 +687,62 @@ def _bench_newton_split(prob, out, dtype_str, iters, hoist):
         jax.block_until_ready(mg_state)
         out["mg_make_s"] = time.perf_counter() - t0
         del amk
-    a2 = (o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist, mg_state)
-    report_mem(body2, a2, out, tag="_solve", jitted=jf2)
-    o2 = jf2(*a2)  # warmup/compile the solve program (donates o1's blocks)
-    jax.block_until_ready(o2)
+
+    restart = min(lin_cfg.restart, disc.n_dofs)
+
+    def host_solve(R, J_e, diag):
+        z0 = jnp.zeros_like(R)
+        norm_b = float(jnp.linalg.norm(R))
+
+        def cycle_call(z, stag):
+            return jf2(J_e, diag, R, z, jnp.asarray(stag, jnp.int32),
+                       bc_dofs, hoist, mg_hoist, mg_state)
+
+        return linear_mod.host_restart_loop(
+            cycle_call, z0, norm_b, lin_cfg.tol, lin_cfg.max_iters,
+            restart, lin_cfg.refine_iters,
+        )
+
+    if host_cycles:
+        out["host_cycles"] = True
+        a2 = (o1[1], o1[2], o1[0], jnp.zeros_like(o1[0]),
+              jnp.asarray(0, jnp.int32), bc_dofs, hoist, mg_hoist,
+              mg_state)
+        report_mem(body2c, a2, out, tag="_solve", jitted=jf2)
+        z, relres, ki = host_solve(o1[0], o1[1], o1[2])  # warmup/compile
+        out["warmup_relres"] = relres
+    else:
+        a2 = (o1[1], o1[2], o1[0], x, bc_dofs, hoist, mg_hoist, mg_state)
+        report_mem(body2, a2, out, tag="_solve", jitted=jf2)
+        o2 = jf2(*a2)  # warmup/compile (donates o1's blocks)
+        jax.block_until_ready(o2)
+        out["warmup_relres"] = float(o2[2])
+        del o2
     # convergence evidence that survives a timed-run fault (see
     # _bench_adjoint_split)
-    out["warmup_relres"] = float(o2[2])
     print(json.dumps({"warmup_relres": out["warmup_relres"]}), flush=True)
-    del a2, o1, o2  # free every warmup buffer before the timed runs
+    del a2, o1  # free every warmup buffer before the timed runs
 
     def run_once():
         R, J_e, diag, xi = jf1(*a1)
         del xi  # elem-state output: not a solve input, drop before jf2
+        if host_cycles:
+            z, relres, ki = host_solve(R, J_e, diag)
+            return relres, ki
         o2 = jf2(J_e, diag, R, x, bc_dofs, hoist, mg_hoist, mg_state)
         jax.block_until_ready(o2)
-        return o2
+        return float(o2[2]), int(o2[3])
 
-    o2 = run_once()
+    res = run_once()
     k = max(2, iters // 2)
     t0 = time.perf_counter()
     for _ in range(k):
-        o2 = run_once()
+        res = run_once()
     dt = (time.perf_counter() - t0) / k
     out["seconds"] = dt
     out["gdof_per_s"] = disc.n_dofs / dt / 1e9
-    out["solve_relres"] = float(o2[2])
-    out["solve_iters"] = int(o2[3])  # total inner Krylov iterations
+    out["solve_relres"] = float(res[0])
+    out["solve_iters"] = int(res[1])  # total inner Krylov iterations
     out["split_programs"] = 3 if use_state else 2
     if mg is not None:
         out["preconditioner"] = "multigrid"
@@ -777,6 +824,21 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
                 mg_state=mg_state,
             )
 
+    # host-orchestrated restarts (see _bench_newton_split): one
+    # TRANSPOSED GMRES cycle per dispatch — restart=100 in a single
+    # dispatch is 80+ s at 1.1M DOF, past the ~50-60 s axon worker
+    # ceiling that killed every scale adjoint rerun
+    host_cycles = os.environ.get("CALIBR8_HOST_CYCLES", "1") != "0"
+
+    def body1kc(J_total_T, diag, rhs, z, stag, bc_dofs, st, mst,
+                mg_state):
+        mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
+        with disc.bind(st), mg_ctx:
+            return linear_mod.solve_cycle(
+                lin_cfg, J_total_T, disc, diag, rhs, z, stag, bc_dofs,
+                transpose=True, mg=mg, mg_state=mg_state,
+            )
+
     def body2(x, x_prev, xi, xi_prev, path, params, solved, st):
         with disc.bind(st):
             return adj.step_post(
@@ -791,7 +853,8 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     # under.  J_total_T/diag/rhs are donated into the krylov program
     # (only consumer), the solved tuple into post.
     jf1 = jax.jit(body1)
-    jfk = jax.jit(body1k, donate_argnums=(0, 1, 2))
+    jfk = (jax.jit(body1kc) if host_cycles
+           else jax.jit(body1k, donate_argnums=(0, 1, 2)))
     jf2 = jax.jit(body2, donate_argnums=(6,))
     jfmk = jax.jit(body_mk) if use_state else None
     a1 = (x, x_prev, loc.xi, xi_prev, loc.path, params, f0, g0,
@@ -811,12 +874,38 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
         jax.block_until_ready(mg_state)
         out["mg_make_s"] = time.perf_counter() - t0
         del amk
-    ak = (J_T, diag_a, rhs, jnp.asarray(bc_dofs), hoist, mg_hoist,
-          mg_state)
-    report_mem(body1k, ak, out, tag="_solve", jitted=jfk)
-    z, relres, ki = jfk(*ak)
-    jax.block_until_ready(z)
-    out["warmup_solve_iters"] = int(ki)
+
+    restart = min(lin_cfg.restart, disc.n_dofs)
+
+    def host_solve(J_T, diag_a, rhs):
+        z0 = jnp.zeros_like(rhs)
+        norm_b = float(jnp.linalg.norm(rhs))
+
+        def cycle_call(z, stag):
+            return jfk(J_T, diag_a, rhs, z, jnp.asarray(stag, jnp.int32),
+                       jnp.asarray(bc_dofs), hoist, mg_hoist, mg_state)
+
+        return linear_mod.host_restart_loop(
+            cycle_call, z0, norm_b, lin_cfg.tol, lin_cfg.max_iters,
+            restart, lin_cfg.refine_iters,
+        )
+
+    if host_cycles:
+        out["host_cycles"] = True
+        ak = (J_T, diag_a, rhs, jnp.zeros_like(rhs),
+              jnp.asarray(0, jnp.int32), jnp.asarray(bc_dofs), hoist,
+              mg_hoist, mg_state)
+        report_mem(body1kc, ak, out, tag="_solve", jitted=jfk)
+        z, relres_f, ki = host_solve(J_T, diag_a, rhs)
+        relres = jnp.asarray(relres_f, z.dtype)
+        out["warmup_solve_iters"] = int(ki)
+    else:
+        ak = (J_T, diag_a, rhs, jnp.asarray(bc_dofs), hoist, mg_hoist,
+              mg_state)
+        report_mem(body1k, ak, out, tag="_solve", jitted=jfk)
+        z, relres, ki = jfk(*ak)
+        jax.block_until_ready(z)
+        out["warmup_solve_iters"] = int(ki)
     del ak, J_T, diag_a, rhs, b1
     s1 = (z, relres, B0, g_modT, dJ_dp)
     a2 = (x, x_prev, loc.xi, xi_prev, loc.path, params, s1, hoist)
@@ -833,8 +922,12 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
 
     def run_once():
         J_T, diag_a, rhs, B0, g_modT, dJ_dp = jf1(*a1)
-        z, relres, _ = jfk(J_T, diag_a, rhs, jnp.asarray(bc_dofs), hoist,
-                           mg_hoist, mg_state)
+        if host_cycles:
+            z, relres_f, _ = host_solve(J_T, diag_a, rhs)
+            relres = jnp.asarray(relres_f, z.dtype)
+        else:
+            z, relres, _ = jfk(J_T, diag_a, rhs, jnp.asarray(bc_dofs),
+                               hoist, mg_hoist, mg_state)
         res = jf2(x, x_prev, loc.xi, xi_prev, loc.path, params,
                   (z, relres, B0, g_modT, dJ_dp), hoist)
         jax.block_until_ready(res)

@@ -173,42 +173,9 @@ def solve_info(
             return x, rr, jnp.asarray(0, jnp.int32)
         return x, rr
 
-    if cfg.operator != "ebe" and jax.default_backend() == "tpu":
-        # assembled node-block ELL apply: built once per solve (jit
-        # hoists it out of the Krylov loop), no per-iteration scatter
-        from calibr8_tpu.solve.ellpack import EllOperator
-
-        # pass the UN-swapped Jacobian + the transpose flag: the TPU
-        # assembly folds the transpose into its scatter ids, so the
-        # only wholesale consumer of the swapped op_e disappears and
-        # XLA can fuse the swapaxes into MG/BGS's per-(i,j) slices
-        # instead of materializing the 1.6 GB trailing copy (the scale
-        # adjoint sat 1.4 GB over the 16 GB HBM)
-        op = EllOperator(disc, J_e, diag, bc_dofs, transpose=transpose)
-    else:
-
-        def op(v):
-            out = ebe_matvec_disc(op_e, disc, v)
-            return apply_dbcs_matvec(out, diag, v, bc_dofs)
-
-    if mg is not None:
-        # geometric multigrid V-cycle (the MueLu AMG analog, solve/mg.py);
-        # mg_state (from mg_make_state) hoists the hierarchy build out
-        # of this program — preconditioner lag + executable-size split
-        M = mg.make(
-            op_e, diag, bc_dofs, op, transpose=transpose, state=mg_state
-        )
-    elif cfg.preconditioner == "block_gs":
-        from calibr8_tpu.solve.precond import BlockJacobiGS
-
-        # transpose solves use the TRANSPOSED forward preconditioner,
-        # built from the forward Jacobians (solve/precond.py)
-        M = BlockJacobiGS(disc, J_e, diag, bc_dofs, transpose=transpose)
-    else:
-        safe_diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
-
-        def M(v):
-            return v / safe_diag
+    op, M = _gmres_setup(
+        cfg, J_e, op_e, disc, diag, bc_dofs, transpose, mg, mg_state
+    )
 
     from calibr8_tpu.solve.gmres import gmres_cycle, pcg
 
@@ -302,3 +269,131 @@ def solve_info(
     if return_iters:
         return x, relres, ki
     return x, relres
+
+
+def _gmres_setup(cfg, J_e, op_e, disc, diag, bc_dofs, transpose, mg,
+                 mg_state):
+    """Krylov operator + preconditioner construction shared by
+    solve_info (in-program while_loop restarts) and solve_cycle
+    (host-orchestrated restarts)."""
+    if cfg.operator != "ebe" and jax.default_backend() == "tpu":
+        # assembled node-block ELL apply: built once per solve (jit
+        # hoists it out of the Krylov loop), no per-iteration scatter
+        from calibr8_tpu.solve.ellpack import EllOperator
+
+        # pass the UN-swapped Jacobian + the transpose flag: the TPU
+        # assembly folds the transpose into its scatter ids, so the
+        # only wholesale consumer of the swapped op_e disappears and
+        # XLA can fuse the swapaxes into MG/BGS's per-(i,j) slices
+        # instead of materializing the 1.6 GB trailing copy (the scale
+        # adjoint sat 1.4 GB over the 16 GB HBM)
+        op = EllOperator(disc, J_e, diag, bc_dofs, transpose=transpose)
+    else:
+
+        def op(v):
+            out = ebe_matvec_disc(op_e, disc, v)
+            return apply_dbcs_matvec(out, diag, v, bc_dofs)
+
+    if mg is not None:
+        # geometric multigrid V-cycle (the MueLu AMG analog, solve/mg.py);
+        # mg_state (from mg_make_state) hoists the hierarchy build out
+        # of this program — preconditioner lag + executable-size split
+        M = mg.make(
+            op_e, diag, bc_dofs, op, transpose=transpose, state=mg_state
+        )
+    elif cfg.preconditioner == "block_gs":
+        from calibr8_tpu.solve.precond import BlockJacobiGS
+
+        # transpose solves use the TRANSPOSED forward preconditioner,
+        # built from the forward Jacobians (solve/precond.py)
+        M = BlockJacobiGS(disc, J_e, diag, bc_dofs, transpose=transpose)
+    else:
+        safe_diag = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+
+        def M(v):
+            return v / safe_diag
+
+    return op, M
+
+
+def solve_cycle(cfg, J_e, disc, diag, b, x, stag, bc_dofs,
+                transpose=False, mg=None, mg_state=None):
+    """ONE right-preconditioned GMRES(m) restart cycle + true-residual
+    update — the building block of HOST-ORCHESTRATED outer restarts.
+
+    Why this exists: the axon TPU tunnel KILLS any single dispatch
+    whose device execution runs past ~50-60 s (the worker process
+    crashes; bisected with a pure-matmul fori_loop by
+    scripts/probe_long_dispatch.py — 47.6 s runs, 60 s dies).  At
+    1.1M DOF a full solve_info dispatch at restart=100 is 80+ s, which
+    is why every scale adjoint rerun died UNAVAILABLE while restart=40
+    (~32 s/cycle) survived.  Running the outer restart loop on HOST
+    bounds each dispatch to one cycle; the ~30 ms tunnel RTT per cycle
+    is noise against multi-second cycles.
+
+    Semantics mirror ONE body iteration of solve_info's outer
+    while_loop exactly, including the full-length-cycle-after-stall
+    recovery (stag > 0 disables the early exit).  Returns
+    (x_next, rn, rn_new, stag_next, k_used); the true residual of
+    x_next is min(rn, rn_new) by construction (x_next is whichever of
+    x/candidate has the smaller true residual).
+    """
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+    from calibr8_tpu.solve.gmres import gmres_cycle
+
+    trailing = jac_is_trailing(J_e, disc)
+    if transpose:
+        op_e = J_e.swapaxes(0, 1) if trailing else J_e.swapaxes(-1, -2)
+    else:
+        op_e = J_e
+    op, M = _gmres_setup(
+        cfg, J_e, op_e, disc, diag, bc_dofs, transpose, mg, mg_state
+    )
+    restart = min(cfg.restart, disc.n_dofs)
+    atol = cfg.tol * jnp.linalg.norm(b)
+
+    def opM(v):
+        return op(M(v))
+
+    r = b - op(x)
+    rn = jnp.linalg.norm(r)
+    cyc_atol = jnp.where(stag > 0, 0.0, 0.1 * atol)
+    dy, _, k_used = gmres_cycle(opM, r, restart, cyc_atol)
+    cand = x + M(dy)
+    rn_new = jnp.linalg.norm(b - op(cand))
+    better = jnp.isfinite(rn_new) & (rn_new < rn)
+    x_next = jnp.where(better, cand, x)
+    progress = better & (rn_new <= 0.95 * rn)
+    stag_next = jnp.where(progress, 0, stag + 1)
+    return x_next, rn, rn_new, stag_next, k_used
+
+
+def host_restart_loop(cycle_call, x0, norm_b, tol, max_iters, restart,
+                      refine_iters=1):
+    """Outer GMRES restart loop on HOST over a jitted solve_cycle
+    wrapper — same termination discipline as solve_info's while_loop
+    (converged, or two consecutive no-progress cycles), with every
+    float() fetch bounding the device dispatch to one cycle (see
+    solve_cycle's docstring for the ~50-60 s axon dispatch ceiling).
+
+    cycle_call(x, stag:int32) -> (x_next, rn, rn_new, stag_next,
+    k_used) device tuple; x0 seeds the first cycle (zeros for a fresh
+    solve).  Returns (x, relres_float, total_iters).
+    """
+    atol = float(tol) * float(norm_b)
+    safe_nb = float(norm_b) if float(norm_b) > 0 else 1.0
+    n_outer = max(1, -(-int(max_iters) // int(restart))) + int(refine_iters)
+    x = x0
+    stag = 0
+    ki = 0
+    relres = float('inf')
+    for it in range(n_outer):
+        x, rn, rn_new, stag_d, k = cycle_call(x, stag)
+        rn_f = float(rn)
+        rn_new_f = float(rn_new)
+        stag = int(stag_d)
+        ki += int(k)
+        relres = min(rn_new_f, rn_f) / safe_nb
+        if min(rn_new_f, rn_f) <= atol or stag >= 2:
+            break
+    return x, relres, ki

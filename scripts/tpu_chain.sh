@@ -96,13 +96,15 @@ stage_scale64() {
   run_probe 10800 $PHASELOG /tmp/scale_newton_r5.err \
     CALIBR8_X64=0 CALIBR8_ELL_STENCIL=${SCALE_STENCIL:-1} \
     python scripts/scale_probe.py newton 64 3
+  # restart=50 + host-orchestrated cycles: one cycle per dispatch
+  # stays under the ~50-60 s axon dispatch ceiling; restart=100 in a
+  # single dispatch is what killed every earlier scale adjoint rerun
   run_probe 14400 $PHASELOG /tmp/scale_adjoint_r5.err \
     CALIBR8_X64=0 CALIBR8_ELL_STENCIL=${SCALE_STENCIL:-1} \
-    CALIBR8_BENCH_RESTART=100 \
     python scripts/scale_probe.py adjoint 64 3 || {
       echo "$(ts) adjoint stencil failed twice; gather fallback"
       run_probe 14400 $PHASELOG /tmp/scale_adjoint_r5_gather.err \
-        CALIBR8_X64=0 CALIBR8_ELL_STENCIL=0 CALIBR8_BENCH_RESTART=100 \
+        CALIBR8_X64=0 CALIBR8_ELL_STENCIL=0 \
         python scripts/scale_probe.py adjoint 64 3
     }
   python scripts/merge_scale_row.py 64 $PHASELOG \

@@ -204,3 +204,50 @@ def test_precond_reuse_step_matches_none():
     np.testing.assert_allclose(
         states["step"], states["none"], atol=1e-8 * s
     )
+
+
+def test_host_restart_loop_matches_solve_info(setup):
+    """Host-orchestrated restarts (linear.solve_cycle jitted per cycle
+    + host_restart_loop) reproduce the in-program while_loop solver
+    (solve_info) on the same MG problem: same convergence, same
+    iteration accounting discipline.  This is the scale path on the
+    tunneled chip, where any single dispatch past ~50-60 s of device
+    execution crashes the TPU worker (scripts/probe_long_dispatch.py)
+    — the 1.1M-DOF adjoint MUST run its outer restarts on host."""
+    from calibr8_tpu.solve import linear as linear_mod
+
+    prob, J_e, diag, bc_dofs = setup
+    disc = prob.disc
+    mg = prob.mg_factory
+    cfg = linear_mod.LinearCfg(
+        method="gmres", tol=1e-8, max_iters=400, restart=25,
+        refine_iters=1,
+    )
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(disc.n_dofs), disc.dtype)
+
+    for transpose in (False, True):
+        x_ref, rr_ref, ki_ref = linear_mod.solve_info(
+            cfg, J_e, disc, diag, b, bc_dofs, transpose=transpose,
+            mg=mg, return_iters=True,
+        )
+        cyc = jax.jit(
+            lambda z, stag: linear_mod.solve_cycle(
+                cfg, J_e, disc, diag, b, z, stag, bc_dofs,
+                transpose=transpose, mg=mg,
+            )
+        )
+        x_h, rr_h, ki_h = linear_mod.host_restart_loop(
+            lambda z, stag: cyc(z, jnp.asarray(stag, jnp.int32)),
+            jnp.zeros_like(b), float(jnp.linalg.norm(b)), cfg.tol,
+            cfg.max_iters, cfg.restart, cfg.refine_iters,
+        )
+        assert rr_h <= cfg.tol, f"host cycles stalled at {rr_h:.3e}"
+        assert float(rr_ref) <= cfg.tol
+        # same Krylov trajectory: identical per-cycle math => identical
+        # iteration counts and bit-comparable solutions
+        assert ki_h == int(ki_ref), (ki_h, int(ki_ref))
+        err = float(jnp.linalg.norm(x_h - x_ref)) / max(
+            float(jnp.linalg.norm(x_ref)), 1e-30
+        )
+        assert err < 1e-10, f"host-vs-program solution parity {err:.3e}"
