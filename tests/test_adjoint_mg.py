@@ -76,7 +76,6 @@ def _transposed_probe(prob, which, tol=1e-10):
     return info.iterations, bool(info.converged)
 
 
-@pytest.mark.smoke
 def test_transposed_amg_beats_transposed_block_gs():
     """The mirrored-sweep AMG cycle must converge the transposed system
     in far fewer Krylov iterations than one-level transposed block-GS

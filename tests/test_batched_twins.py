@@ -46,12 +46,18 @@ FAST = {"small_J2", "small_hill_plane_stress", "small_hill_plane_strain",
 # 3D twins take minutes in interpret mode and run in the slow suite
 
 
+# smoke = one implicit (small_J2) + one explicit (isotropic_elastic)
+# twin; the hill plane-stress/strain variants are default tier (the
+# smoke gate budget is 10 min on the CPU box)
+SMOKE_TWINS = {"small_J2", "isotropic_elastic"}
+
+
 @pytest.mark.parametrize(
     "name,mesh,model,mats,bcs,gtype",
-    [c for c in CASES if c[0] in FAST],
+    [pytest.param(*c, marks=pytest.mark.smoke) if c[0] in SMOKE_TWINS
+     else c for c in CASES if c[0] in FAST],
     ids=[c[0] for c in CASES if c[0] in FAST],
 )
-@pytest.mark.smoke
 def test_pallas_twin_matches_generic(name, mesh, model, mats, bcs, gtype):
     _run_twin_case(name, mesh, model, mats, bcs, gtype)
 

@@ -65,7 +65,6 @@ def _iters(prob, M=None, tol=1e-10):
     return info.iterations
 
 
-@pytest.mark.smoke
 def test_mg_iteration_count_flat_2d():
     """GMRES+MG counts stay roughly flat from h to h/4 on notch2D J2,
     while one-level block-GS counts grow with refinement."""
