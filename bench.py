@@ -830,13 +830,26 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     # ceiling that killed every scale adjoint rerun
     host_cycles = os.environ.get("CALIBR8_HOST_CYCLES", "1") != "0"
 
-    def body1kc(J_total_T, diag, rhs, z, stag, bc_dofs, st, mst,
+    def body1kc(J_total_T, diag, rhs, z, stag, tolv, bc_dofs, st, mst,
                 mg_state):
         mg_ctx = mg.bind(mst) if mg is not None else contextlib.nullcontext()
         with disc.bind(st), mg_ctx:
             return linear_mod.solve_cycle(
                 lin_cfg, J_total_T, disc, diag, rhs, z, stag, bc_dofs,
-                transpose=True, mg=mg, mg_state=mg_state,
+                transpose=True, mg=mg, mg_state=mg_state, tol=tolv,
+            )
+
+    # mixed-precision iterative refinement (CALIBR8_IR=1): f64 true
+    # residual + f64 accumulator + shallow f32 correction solves — the
+    # only way under tol 1e-4 at 1.1M DOF, where the f32-arithmetic
+    # relres floor for the transposed system measured 1.7e-4
+    use_ir = (os.environ.get("CALIBR8_IR", "0") == "1"
+              and jax.config.jax_enable_x64)
+
+    def body_r64(J_total_T, diag, rhs, z64, bc_dofs, st):
+        with disc.bind(st):
+            return linear_mod.residual_hp(
+                J_total_T, disc, diag, rhs, z64, bc_dofs, transpose=True
             )
 
     def body2(x, x_prev, xi, xi_prev, path, params, solved, st):
@@ -876,14 +889,32 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
         del amk
 
     restart = min(lin_cfg.restart, disc.n_dofs)
+    jr64 = jax.jit(body_r64) if use_ir else None
 
     def host_solve(J_T, diag_a, rhs):
+        def cycle_tol(rhs_k, z, stag, tolv):
+            return jfk(J_T, diag_a, rhs_k, z,
+                       jnp.asarray(stag, jnp.int32), tolv,
+                       jnp.asarray(bc_dofs), hoist, mg_hoist, mg_state)
+
+        if use_ir:
+            def resid_call(z64):
+                return jr64(J_T, diag_a, rhs, z64,
+                            jnp.asarray(bc_dofs), hoist)
+
+            z64, relres_f, ki, passes = linear_mod.host_ir_loop(
+                cycle_tol, resid_call, rhs, lin_cfg.tol,
+                lin_cfg.max_iters, restart, lin_cfg.refine_iters,
+            )
+            out["ir_passes"] = passes
+            return z64.astype(rhs.dtype), relres_f, ki
+
         z0 = jnp.zeros_like(rhs)
         norm_b = float(jnp.linalg.norm(rhs))
+        tolv = jnp.asarray(lin_cfg.tol, rhs.dtype)
 
         def cycle_call(z, stag):
-            return jfk(J_T, diag_a, rhs, z, jnp.asarray(stag, jnp.int32),
-                       jnp.asarray(bc_dofs), hoist, mg_hoist, mg_state)
+            return cycle_tol(rhs, z, stag, tolv)
 
         return linear_mod.host_restart_loop(
             cycle_call, z0, norm_b, lin_cfg.tol, lin_cfg.max_iters,
@@ -893,8 +924,9 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     if host_cycles:
         out["host_cycles"] = True
         ak = (J_T, diag_a, rhs, jnp.zeros_like(rhs),
-              jnp.asarray(0, jnp.int32), jnp.asarray(bc_dofs), hoist,
-              mg_hoist, mg_state)
+              jnp.asarray(0, jnp.int32),
+              jnp.asarray(lin_cfg.tol, rhs.dtype),
+              jnp.asarray(bc_dofs), hoist, mg_hoist, mg_state)
         report_mem(body1kc, ak, out, tag="_solve", jitted=jfk)
         z, relres_f, ki = host_solve(J_T, diag_a, rhs)
         relres = jnp.asarray(relres_f, z.dtype)

@@ -24,8 +24,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-SQRT_23 = np.sqrt(2.0 / 3.0)
-SQRT_32 = np.sqrt(3.0 / 2.0)
+SQRT_23 = float(np.sqrt(2.0 / 3.0))  # python float: a np.float64 scalar is STRONG f64 under x64 and silently promotes f32 model math
+SQRT_32 = float(np.sqrt(3.0 / 2.0))
 
 
 def usum(x, axis: int):

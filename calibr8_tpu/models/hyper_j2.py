@@ -35,8 +35,8 @@ from calibr8_tpu.models.base import (
 )
 from calibr8_tpu.models.yield_fns import insert_2d_into_3d
 
-SQRT_23 = np.sqrt(2.0 / 3.0)
-SQRT_32 = np.sqrt(3.0 / 2.0)
+SQRT_23 = float(np.sqrt(2.0 / 3.0))  # python float: a np.float64 scalar is STRONG f64 under x64 and silently promotes f32 model math
+SQRT_32 = float(np.sqrt(3.0 / 2.0))
 POWER_LAW_OFFSET = 1e-12
 
 

@@ -317,7 +317,7 @@ def _gmres_setup(cfg, J_e, op_e, disc, diag, bc_dofs, transpose, mg,
 
 
 def solve_cycle(cfg, J_e, disc, diag, b, x, stag, bc_dofs,
-                transpose=False, mg=None, mg_state=None):
+                transpose=False, mg=None, mg_state=None, tol=None):
     """ONE right-preconditioned GMRES(m) restart cycle + true-residual
     update — the building block of HOST-ORCHESTRATED outer restarts.
 
@@ -350,7 +350,10 @@ def solve_cycle(cfg, J_e, disc, diag, b, x, stag, bc_dofs,
         cfg, J_e, op_e, disc, diag, bc_dofs, transpose, mg, mg_state
     )
     restart = min(cfg.restart, disc.n_dofs)
-    atol = cfg.tol * jnp.linalg.norm(b)
+    # tol may arrive as a TRACED scalar (mixed-precision IR passes a
+    # different relative target per refinement pass — a python float
+    # would retrace/recompile the cycle program every pass)
+    atol = (cfg.tol if tol is None else tol) * jnp.linalg.norm(b)
 
     def opM(v):
         return op(M(v))
@@ -366,6 +369,90 @@ def solve_cycle(cfg, J_e, disc, diag, b, x, stag, bc_dofs,
     progress = better & (rn_new <= 0.95 * rn)
     stag_next = jnp.where(progress, 0, stag + 1)
     return x_next, rn, rn_new, stag_next, k_used
+
+
+def residual_hp(J_e, disc, diag, b, x, bc_dofs, transpose=False):
+    """True residual r = b - A x in the highest enabled precision.
+
+    With jax x64 enabled (CALIBR8_IR=1 or the f64 default config) the
+    element blocks, RHS, and iterate promote to f64 for the matvec —
+    the measuring stick of mixed-precision iterative refinement.  The
+    f32-arithmetic relres floor at 1M+ DOF (~eps32 * ||A|| ||x|| /
+    ||b||, measured 1.5-2e-4 for the 1.1M-DOF transposed system) is an
+    EVALUATION artifact: only an f64 residual can certify convergence
+    below it, exactly as the reference's f64 Belos status checks do
+    (source/calibr8/src/linear_solve.cpp:106-123).
+
+    Returns (r_lp, relres_hp): the residual cast to b's dtype (the
+    next correction solve's RHS) and the high-precision relative
+    residual scalar.  x may already be the f64 accumulator — it is
+    promoted, never demoted.
+    """
+    hp = jnp.float64 if jax.config.jax_enable_x64 else b.dtype
+    from calibr8_tpu.fem.assembly import jac_is_trailing
+
+    trailing = jac_is_trailing(J_e, disc)
+    if transpose:
+        op_e = J_e.swapaxes(0, 1) if trailing else J_e.swapaxes(-1, -2)
+    else:
+        op_e = J_e
+    op64 = op_e.astype(hp)
+    x64 = x.astype(hp)
+    b64 = b.astype(hp)
+    out = ebe_matvec_disc(op64, disc, x64)
+    out = apply_dbcs_matvec(out, diag.astype(hp), x64, bc_dofs)
+    r = b64 - out
+    nb = jnp.linalg.norm(b64)
+    relres = jnp.linalg.norm(r) / jnp.where(nb > 0, nb, 1.0)
+    return r.astype(b.dtype), relres
+
+
+def host_ir_loop(cycle_call, resid_call, b_like, tol, max_iters,
+                 restart, refine_iters=1, max_passes=4):
+    """Mixed-precision iterative refinement around host-cycled f32
+    GMRES solves: f64 solution accumulator + f64 true residual + f32
+    correction solves.
+
+      z64 = 0
+      repeat: (r32, relres64) = resid_call(z64)      # f64 measure
+              if relres64 <= tol: done
+              d = f32-solve A d = r32 to rel target tol/relres64
+              z64 += d
+    The first pass solves the full system to the f32 floor; each later
+    pass needs only a SHALLOW correction solve (the relative target is
+    tol/relres64 — e.g. 0.59 after a 1.7e-4 floor stall against tol
+    1e-4), so refinement costs a handful of Krylov iterations plus one
+    f64 matvec per pass.  Convergence criterion and the returned
+    relres are the f64 truth.
+
+    cycle_call(rhs, z, stag:int32, tol_scalar) -> solve_cycle tuple;
+    resid_call(z64) -> (r_lp, relres_hp).  Returns
+    (z64, relres_float, total_iters, passes).
+    """
+    z64 = jnp.zeros_like(b_like, dtype=jnp.float64
+                         if jax.config.jax_enable_x64 else b_like.dtype)
+    total_ki = 0
+    relres = float("inf")
+    for p in range(max_passes):
+        r_lp, relres_hp = resid_call(z64)
+        relres = float(relres_hp)
+        if relres <= tol or not jnp.isfinite(relres_hp):
+            return z64, relres, total_ki, p
+        # relative target for this correction: reaching it makes the
+        # OVERALL f64 relres <= tol (clamped away from 1 for progress)
+        inner_tol = min(0.5, tol / relres)
+        norm_r = float(jnp.linalg.norm(r_lp))
+        d, _, ki = host_restart_loop(
+            lambda z, stag: cycle_call(
+                r_lp, z, stag, jnp.asarray(inner_tol, r_lp.dtype)
+            ),
+            jnp.zeros_like(r_lp), norm_r, inner_tol, max_iters,
+            restart, refine_iters,
+        )
+        z64 = z64 + d.astype(z64.dtype)
+        total_ki += ki
+    r_lp, relres_hp = resid_call(z64)
+    return z64, float(relres_hp), total_ki, max_passes
 
 
 def host_restart_loop(cycle_call, x0, norm_b, tol, max_iters, restart,

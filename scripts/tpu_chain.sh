@@ -4,6 +4,10 @@
 # time — two at once produce UNAVAILABLE device errors).
 #
 # Usage:  scripts/tpu_chain.sh <stage> [stage ...]
+#   LAUNCH VIA A COPY:  cp scripts/tpu_chain.sh /tmp/chain_run.sh &&
+#   nohup /tmp/chain_run.sh <stages> &   — bash re-reads the script
+#   file DURING execution, so editing the in-repo copy while a chain
+#   runs corrupts the running shell (hit in round 5).
 # Stages:
 #   ab196     stencil-vs-gather A/B at ~196k elems (n=32, refs=2):
 #             newton + adjoint each under CALIBR8_ELL_STENCIL=1/0.
@@ -99,17 +103,30 @@ stage_scale64() {
   # restart=50 + host-orchestrated cycles: one cycle per dispatch
   # stays under the ~50-60 s axon dispatch ceiling; restart=100 in a
   # single dispatch is what killed every earlier scale adjoint rerun
+  # CALIBR8_IR=1: mixed-precision refinement (f64 true residual +
+  # f64 accumulator + shallow f32 correction solves) — the f32
+  # relres floor for the transposed system (~1.7e-4) sits above the
+  # 1e-4 tol
   run_probe 14400 $PHASELOG /tmp/scale_adjoint_r5.err \
-    CALIBR8_X64=0 CALIBR8_ELL_STENCIL=${SCALE_STENCIL:-1} \
+    CALIBR8_X64=0 CALIBR8_IR=1 CALIBR8_ELL_STENCIL=${SCALE_STENCIL:-1} \
     python scripts/scale_probe.py adjoint 64 3 || {
       echo "$(ts) adjoint stencil failed twice; gather fallback"
       run_probe 14400 $PHASELOG /tmp/scale_adjoint_r5_gather.err \
-        CALIBR8_X64=0 CALIBR8_ELL_STENCIL=0 \
+        CALIBR8_X64=0 CALIBR8_IR=1 CALIBR8_ELL_STENCIL=0 \
         python scripts/scale_probe.py adjoint 64 3
     }
   python scripts/merge_scale_row.py 64 $PHASELOG \
     && cp $PHASELOG /root/repo/.bench_results/scale_chain_r4.log
   echo "$(ts) merge rc=$?"
+}
+
+stage_lvlprobe() {
+  echo "$(ts) === stage lvlprobe ==="
+  run_probe 7200 /tmp/probe_lvl_n64.log /tmp/probe_lvl_n64.err \
+    CALIBR8_X64=0 python scripts/probe_level_matvec.py 64 3
+  run_probe 3600 /tmp/probe_lvl_n64.log /tmp/probe_lvl_n64.err \
+    CALIBR8_X64=0 CALIBR8_ELL_STENCIL=0 python scripts/probe_level_matvec.py 64 3
+  cp /tmp/probe_lvl_n64.log /root/repo/.bench_results/probe_lvl_n64.log
 }
 
 stage_bench() {
