@@ -85,7 +85,27 @@ def ell_maps_from_conn(conn, n_nodes):
     if os.environ.get("CALIBR8_ELL_STENCIL", "1") != "0":
         off = u_j - u_i
         d_offs = np.unique(off)
-        if len(d_offs) <= max(int(1.5 * K) + 4, 16):
+        # Acceptance cap: 3D REFINED cubes are NOT self-similar under
+        # red tet refinement (the octahedron children mix orientation
+        # classes), so the scale chains carry 45-75 distinct offsets
+        # against K ~ 21 slots — the old 1.5K+4 bound rejected exactly
+        # the meshes the stencil was built for, and every "stencil"
+        # scale run before round 5 silently used the gather.  Measured
+        # n=64 (m=4, K=21): gather 28.1 ms of the 34.5 ms matvec vs a
+        # 0.11 ms roofline; the slice form at K=75 trades ~3.6x A_T
+        # bytes (zero blocks on the rare-offset slots) for the whole
+        # gather.  Default cap 96 accepts the refined-cube chains and
+        # still rejects unstructured meshes (thousands of offsets);
+        # CALIBR8_ELL_STENCIL_MAX overrides (memory-constrained runs).
+        cap = int(os.environ.get(
+            "CALIBR8_ELL_STENCIL_MAX",
+            max(int(1.5 * K) + 4, 96),
+        ))
+        # the 4K guard separates lattice-like meshes (offset count a
+        # small multiple of the slot count, scale chain: 75 vs K=21)
+        # from genuinely unstructured ones (offsets ~ O(n) regardless
+        # of K; notch h=0.12: 93 offsets vs K=8)
+        if len(d_offs) <= min(cap, 4 * K):
             slot = np.searchsorted(d_offs, off)
             K = len(d_offs)
             offsets = d_offs.astype(np.int64)
