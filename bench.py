@@ -842,15 +842,20 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
     # mixed-precision iterative refinement (CALIBR8_IR=1): f64 true
     # residual + f64 accumulator + shallow f32 correction solves — the
     # only way under tol 1e-4 at 1.1M DOF, where the f32-arithmetic
-    # relres floor for the transposed system measured 1.7e-4
-    use_ir = (os.environ.get("CALIBR8_IR", "0") == "1"
-              and jax.config.jax_enable_x64)
+    # relres floor for the transposed system measured 1.7e-4.  The f64
+    # program is traced under the SCOPED enable_x64 context; the
+    # process default stays x64-off so every other program is
+    # bit-identical to the plain f32 pipeline.
+    use_ir = os.environ.get("CALIBR8_IR", "0") == "1"
 
-    def body_r64(J_total_T, diag, rhs, z64, bc_dofs, st):
+    def body_r64(J_total_T, diag, rhs, z64, d, bc_dofs, st):
+        z_new = z64 + d.astype(z64.dtype)
         with disc.bind(st):
-            return linear_mod.residual_hp(
-                J_total_T, disc, diag, rhs, z64, bc_dofs, transpose=True
+            r_lp, relres = linear_mod.residual_hp(
+                J_total_T, disc, diag, rhs, z_new, bc_dofs,
+                transpose=True,
             )
+        return z_new, r_lp, relres
 
     def body2(x, x_prev, xi, xi_prev, path, params, solved, st):
         with disc.bind(st):
@@ -898,12 +903,15 @@ def _bench_adjoint_split(prob, out, dtype_str, iters, hoist, mg):
                        jnp.asarray(bc_dofs), hoist, mg_hoist, mg_state)
 
         if use_ir:
-            def resid_call(z64):
-                return jr64(J_T, diag_a, rhs, z64,
-                            jnp.asarray(bc_dofs), hoist)
+            def resid_step(z64, d):
+                with jax.enable_x64(True):
+                    if z64 is None:
+                        z64 = jnp.zeros(rhs.shape, jnp.float64)
+                    return jr64(J_T, diag_a, rhs, z64, d,
+                                jnp.asarray(bc_dofs), hoist)
 
             z64, relres_f, ki, passes = linear_mod.host_ir_loop(
-                cycle_tol, resid_call, rhs, lin_cfg.tol,
+                cycle_tol, resid_step, rhs, lin_cfg.tol,
                 lin_cfg.max_iters, restart, lin_cfg.refine_iters,
             )
             out["ir_passes"] = passes

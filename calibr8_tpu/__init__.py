@@ -30,18 +30,14 @@ import os as _os
 
 import jax as _jax
 
-if (
-    _os.environ.get("CALIBR8_X64", "1") != "0"
-    or _os.environ.get("CALIBR8_IR", "0") == "1"
-):
-    # CALIBR8_IR=1 enables x64 WITHOUT changing the f32 problem dtype:
-    # mixed-precision iterative refinement promotes only the true-
-    # residual computation to f64 (solve/linear.py residual_hp) while
-    # every solve stays f32 — the f32-measured relres floor at 1M+ DOF
-    # (~1.5-2e-4 for the transposed/adjoint system) sits ABOVE the
-    # 1e-4 tolerance, so convergence there needs an f64 measuring stick
-    # and an f64 solution accumulator.
+if _os.environ.get("CALIBR8_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
+# CALIBR8_IR=1 (mixed-precision iterative refinement, solve/linear.py
+# residual_hp + host_ir_loop) does NOT flip this global: the f64
+# residual program is traced under jax.experimental.enable_x64() so
+# every other program stays bit-identical to the plain f32 ones —
+# process-wide x64 recompiled the 1.1M-DOF hierarchy-build program
+# with i64 index types and crashed the remote TPU compile helper.
 
 # Some TPU plugin sitecustomize hooks force jax_platforms at interpreter
 # start, overriding the JAX_PLATFORMS environment variable; re-assert the

@@ -388,7 +388,9 @@ def residual_hp(J_e, disc, diag, b, x, bc_dofs, transpose=False):
     residual scalar.  x may already be the f64 accumulator — it is
     promoted, never demoted.
     """
-    hp = jnp.float64 if jax.config.jax_enable_x64 else b.dtype
+    # canonicalize_dtype respects BOTH the global x64 flag and the
+    # scoped jax.experimental.enable_x64() context this is traced under
+    hp = jax.dtypes.canonicalize_dtype(jnp.float64)
     from calibr8_tpu.fem.assembly import jac_is_trailing
 
     trailing = jac_is_trailing(J_e, disc)
@@ -407,17 +409,16 @@ def residual_hp(J_e, disc, diag, b, x, bc_dofs, transpose=False):
     return r.astype(b.dtype), relres
 
 
-def host_ir_loop(cycle_call, resid_call, b_like, tol, max_iters,
+def host_ir_loop(cycle_call, resid_step, b_like, tol, max_iters,
                  restart, refine_iters=1, max_passes=4):
     """Mixed-precision iterative refinement around host-cycled f32
     GMRES solves: f64 solution accumulator + f64 true residual + f32
     correction solves.
 
-      z64 = 0
-      repeat: (r32, relres64) = resid_call(z64)      # f64 measure
-              if relres64 <= tol: done
+      z64 = 0; d = 0
+      repeat: (z64, r32, relres64) = resid_step(z64, d)   # z += d,
+              if relres64 <= tol: done                    # f64 measure
               d = f32-solve A d = r32 to rel target tol/relres64
-              z64 += d
     The first pass solves the full system to the f32 floor; each later
     pass needs only a SHALLOW correction solve (the relative target is
     tol/relres64 — e.g. 0.59 after a 1.7e-4 floor stall against tol
@@ -425,18 +426,24 @@ def host_ir_loop(cycle_call, resid_call, b_like, tol, max_iters,
     f64 matvec per pass.  Convergence criterion and the returned
     relres are the f64 truth.
 
-    cycle_call(rhs, z, stag:int32, tol_scalar) -> solve_cycle tuple;
-    resid_call(z64) -> (r_lp, relres_hp).  Returns
+    cycle_call(rhs, z, stag:int32, tol_scalar) -> solve_cycle tuple,
+    traced WITHOUT x64.  resid_step(z64_or_None, d) -> (z64_new, r_lp,
+    relres_hp), traced by the caller under
+    jax.experimental.enable_x64() — the accumulator update z64 + d and
+    the promoted residual live in the ONLY x64 program; everything
+    else stays bit-identical to the plain f32 pipeline (process-wide
+    x64 recompiles the hierarchy programs with i64 index types and
+    crashed the remote TPU compile helper at 1.1M DOF).  Returns
     (z64, relres_float, total_iters, passes).
     """
-    z64 = jnp.zeros_like(b_like, dtype=jnp.float64
-                         if jax.config.jax_enable_x64 else b_like.dtype)
+    z64 = None
+    d = jnp.zeros_like(b_like)
     total_ki = 0
     relres = float("inf")
     for p in range(max_passes):
-        r_lp, relres_hp = resid_call(z64)
+        z64, r_lp, relres_hp = resid_step(z64, d)
         relres = float(relres_hp)
-        if relres <= tol or not jnp.isfinite(relres_hp):
+        if relres <= tol or relres != relres:
             return z64, relres, total_ki, p
         # relative target for this correction: reaching it makes the
         # OVERALL f64 relres <= tol (clamped away from 1 for progress)
@@ -449,9 +456,8 @@ def host_ir_loop(cycle_call, resid_call, b_like, tol, max_iters,
             jnp.zeros_like(r_lp), norm_r, inner_tol, max_iters,
             restart, refine_iters,
         )
-        z64 = z64 + d.astype(z64.dtype)
         total_ki += ki
-    r_lp, relres_hp = resid_call(z64)
+    z64, r_lp, relres_hp = resid_step(z64, d)
     return z64, float(relres_hp), total_ki, max_passes
 
 
