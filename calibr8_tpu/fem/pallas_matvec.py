@@ -87,6 +87,11 @@ _CACHE = {}
 def supports(J_T) -> bool:
     return (
         jax.default_backend() == "tpu"
+        # f64 Pallas is structurally impossible on this TPU stack (the
+        # XLA:TPU X64-rewrite pass has no rule for tpu_custom_call) —
+        # hit again by the mixed-precision IR residual program, whose
+        # promoted f64 matvec must take the XLA path
+        and J_T.dtype != jnp.float64
         and J_T.ndim == 3
         and J_T.shape[0] == J_T.shape[1]
         and _pick_block(J_T.shape[2]) is not None
