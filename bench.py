@@ -1161,6 +1161,14 @@ def run_calibration(dtype_str, n=10):
     tol = 1e-12 if dtype_str == "f64" else 1e-6
     h = (n / 1000.0) if n else 0.25
     syn_deck = {
+        # >=100k-DOF calibration (n<=5 -> h<=0.005, ~88k elems / ~135k
+        # DOFs): one-level block-GS grows with refinement on the notch,
+        # so the fine meshes run aggregation AMG (the reference FEMU
+        # workload solves with Belos+MueLu at any h,
+        # test/femu/CMakeLists.txt:1-12)
+        **({"linear algebra": {"method": "gmres",
+                               "preconditioner": "multigrid"}}
+           if n and n <= 5 else {}),
         "discretization": {
             "builtin mesh": {"type": "notch2D", "h": h},
             "num steps": 2,
@@ -1617,6 +1625,8 @@ def main():
         # n=10 -> h=0.01: a 22k-element / 34k-DOF notch FEMU workload
         # (evals-to-recovery + s/eval at a realistic mesh)
         ("calibration", "f64", 10),
+        # >=100k-DOF calibration (VERDICT r4 #4): h=0.005 notch, AMG
+        ("calibration", "f64", 5),
         ("assembly", "f64", 20),
         ("newton", "f64", 20),
         ("adjoint", "f64", 20),
