@@ -410,7 +410,8 @@ def residual_hp(J_e, disc, diag, b, x, bc_dofs, transpose=False):
 
 
 def host_ir_loop(cycle_call, resid_step, b_like, tol, max_iters,
-                 restart, refine_iters=1, max_passes=4):
+                 restart, refine_iters=1, max_passes=4,
+                 inner_floor=3e-4):
     """Mixed-precision iterative refinement around host-cycled f32
     GMRES solves: f64 solution accumulator + f64 true residual + f32
     correction solves.
@@ -445,9 +446,16 @@ def host_ir_loop(cycle_call, resid_step, b_like, tol, max_iters,
         relres = float(relres_hp)
         if relres <= tol or relres != relres:
             return z64, relres, total_ki, p
-        # relative target for this correction: reaching it makes the
-        # OVERALL f64 relres <= tol (clamped away from 1 for progress)
-        inner_tol = min(0.5, tol / relres)
+        # relative target for this correction: tol/relres makes the
+        # OVERALL f64 relres <= tol, clamped to [inner_floor, 0.5].
+        # The floor matters: an f32 correction solve cannot reach below
+        # ~2e-4 relative (measured 1.7e-4 at 1.1M DOF), and REQUESTING
+        # less sends the solver into its stall-recovery cycles — the
+        # first capture burned ~60 extra full-length iterations
+        # grinding at the floor before the second pass cleaned up.
+        # Asking for 3e-4 converges cleanly and the f64 accumulation
+        # squares the reduction across passes (3e-4 -> 9e-8 in two).
+        inner_tol = min(0.5, max(tol / relres, inner_floor))
         norm_r = float(jnp.linalg.norm(r_lp))
         d, _, ki = host_restart_loop(
             lambda z, stag: cycle_call(
