@@ -1237,6 +1237,11 @@ def run_calibration(dtype_str, n=10):
             "load out file": load_file,
         },
     }
+    if n and n <= 5:
+        # the jitted step solver cannot thread the MG preconditioner
+        # (problem.py guard); at >=100k DOF each Newton step is seconds,
+        # so the host solver's ~30 ms/dispatch RTT is noise
+        del syn_deck["residuals"]["global residual"]["solver"]
     syn = Problem(load_deck(syn_deck))
     traj = syn.solve_primal()
     attach_synthetic(syn.mesh, syn.disc, traj)
