@@ -1673,8 +1673,15 @@ def main():
         # this tail first; rows persist incrementally inside the mode
         ("twins", "f32", 16),
     ]
+    seen_keys = set()
     for mode, dtype, n in plans:
         key = f"{mode}_{dtype}"
+        # a mode listed twice (calibration at two mesh sizes) must not
+        # overwrite its earlier detail row — the n=5 failure masked the
+        # good n=10 result in the driver-facing record
+        if key in seen_keys:
+            key = f"{mode}{n}_{dtype}"
+        seen_keys.add(key)
         remaining = args.deadline - (time.perf_counter() - t_start)
         if remaining < 90.0:
             cached = _load_cached(mode, dtype, n)
